@@ -1,0 +1,345 @@
+"""TPU-native vectorized step kernel for the graph supply-chain environment.
+
+Design
+------
+The reference steps one env object at a time with Python loops over nodes,
+products and destinations plus per-node binary heaps of in-transit shipments
+(``SC_Node.act``, reference supplychain_env.py:208-396).  Here the whole batch
+of environments advances in lockstep as dense array ops:
+
+* **Batch-trailing layout**: every state array carries the environment batch as
+  its *last* axis (``stock[N, P, B]``, ``pipe[H, N, P, B]``).  On TPU the last
+  axis maps to the 128-wide vector lanes, so a batch of thousands of envs turns
+  every per-node scalar op of the reference into a full-width VPU op.  No
+  ``vmap`` is needed — all ops broadcast over the trailing axis.
+* **Dense time-indexed pipeline** replaces the heaps: ``pipe[j]`` holds the
+  material arriving at ``t + 1 + j``.  Arrival dynamics are identical because
+  ``act`` pops *all* entries of the current step (supplychain_env.py:220-228).
+* **Static unrolled loops** over products/destinations (both small) carry the
+  shared processing/ship capacities exactly like the reference's sequential
+  loops, including its bug-compatible ship-capacity bookkeeping
+  (supplychain_env.py:312-328; see SURVEY.md §2.1-4).
+* The per-step lead-time column consumption is action-dependent in the
+  reference (supplychain_env.py:252-254, :270, :344-348, :374-375); we
+  reproduce it with a cumulative count of "fired" supply actions and
+  ``take_along_axis`` gathers.
+
+Everything is shape-static and jit/scan/shard_map friendly; ``t`` is a traced
+scalar (episodes are fixed-length so the whole batch shares one clock).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compile import CompiledChain
+
+__all__ = ["EnvState", "StepOutput", "make_supplychain_kernels", "COST_KEYS"]
+
+# Category order matches the reference's build_info dicts
+# (supplychain_env.py:416-417).
+COST_KEYS = ("stock", "stock_pen", "supply", "process", "process_pen",
+             "ship", "ship_pen", "unmet_dem")
+_CK = {k: i for i, k in enumerate(COST_KEYS)}
+
+
+class EnvState(NamedTuple):
+    """Per-episode device state (a flat pytree; batch is the trailing axis)."""
+    t: jnp.ndarray           # scalar int32, current time step
+    stock: jnp.ndarray       # [N, P, B]
+    pipe: jnp.ndarray        # [H, N, P, B]; pipe[j] arrives at t+1+j
+    demands: jnp.ndarray     # [T+1, R, P, B]
+    leadtimes: Optional[jnp.ndarray]  # [T, K, B] int32, or None (constant mode)
+    ep_reward: jnp.ndarray   # [B]
+    ep_costs: jnp.ndarray    # [8, P, B] accumulated cost per category
+    ep_units: jnp.ndarray    # [8, P, B] accumulated units per category
+
+
+class StepOutput(NamedTuple):
+    obs: jnp.ndarray         # [obs_dim, B] in [-1, 1]
+    reward: jnp.ndarray      # [B]
+    done: jnp.ndarray        # scalar bool
+    costs: jnp.ndarray       # [8, P, B] this-step cost per category (over nodes)
+    units: jnp.ndarray       # [8, P, B]
+
+
+def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
+    """Build (reset_fn, step_fn, obs_fn) closures over a compiled chain.
+
+    ``reset_fn(demands, leadtimes, B)`` takes per-episode tables (host- or
+    device-generated) and returns a fresh ``EnvState``.
+    ``step_fn(state, action)`` takes ``action[A, B]`` in [-1, 1].
+    """
+    f = lambda x: jnp.asarray(x, dtype)
+    N, P, Dmax, R = cc.N, cc.P, cc.Dmax, cc.R
+    Lavg, Lmax, H, T, K = cc.Lavg, cc.Lmax, cc.H, cc.T, cc.K
+
+    # static constants captured by the jitted kernels
+    is_retailer = jnp.asarray(cc.is_retailer)
+    retailer_idx = jnp.asarray(cc.retailer_idx)
+    is_factory = jnp.asarray(cc.is_factory)
+    has_supply = jnp.asarray(cc.has_supply)
+    has_ship = jnp.asarray(cc.has_ship) & (~cc.is_retailer[:, None])
+    supply_cap = f(cc.supply_cap)
+    supply_cost = f(cc.supply_cost)
+    stock_cap = f(cc.stock_cap)
+    stock_cost = f(cc.stock_cost)
+    proc_cap = f(cc.proc_cap)
+    proc_cost = f(cc.proc_cost)
+    proc_ratio = f(cc.proc_ratio)
+    ship_cap_edge = f(cc.ship_cap_edge)
+    ship_cost = f(cc.ship_cost)
+    edge_mask = jnp.asarray(cc.edge_mask)
+    max_ship = f(cc.max_ship)
+    dem_min = f(cc.dem_min)
+    dem_rangev = f(cc.dem_range)
+    sup_act_idx = jnp.asarray(np.maximum(cc.sup_act_idx, 0))
+    ship_act_idx = jnp.asarray(np.maximum(cc.ship_act_idx, 0))
+    lt_base = jnp.asarray(cc.lt_base, jnp.int32)
+
+    # flat edge list for scatter of shipments into destination pipelines
+    e_src, e_di = np.nonzero(cc.edge_mask)
+    e_dst = cc.edge_dst[e_src, e_di]
+    e_src = jnp.asarray(e_src, jnp.int32)
+    e_di = jnp.asarray(e_di, jnp.int32)
+    e_dst = jnp.asarray(e_dst, jnp.int32)
+
+    def _gather_lt(lt_row, idx):
+        """lt_row[K, B], idx[..., B] -> lead-times[..., B] (per-env gather)."""
+        B = lt_row.shape[-1]
+        flat = jnp.clip(idx, 0, K - 1).reshape(-1, B)
+        out = jnp.take_along_axis(lt_row, flat, axis=0)
+        return out.reshape(idx.shape)
+
+    def obs_fn(state: EnvState) -> jnp.ndarray:
+        """Observation (supplychain_env.py:762-791 + SC_Node.build_observation
+        :428-463), computed densely from the time-indexed pipeline."""
+        B = state.stock.shape[-1]
+        dem_row = jax.lax.dynamic_index_in_dim(state.demands, state.t, 0,
+                                               keepdims=False)  # [R,P,B]
+        dem_obs = ((dem_row - dem_min[None, :, None])
+                   / dem_rangev[None, :, None]).reshape(R * P, B)
+
+        safe_cap = jnp.where(stock_cap > 0, stock_cap, 1.0)
+        stock_obs = jnp.where((stock_cap > 0)[:, :, None],
+                              state.stock / safe_cap[:, :, None], 0.0)  # [N,P,B]
+
+        ms = jnp.where(max_ship > 0, max_ship, 1.0)[:, :, None]
+        ms_ok = (max_ship > 0)[:, :, None]
+        buckets = []
+        for j in range(Lavg - 1):
+            buckets.append(jnp.where(ms_ok, state.pipe[j] / ms, 0.0))
+        tail = state.pipe[Lavg - 1:].sum(axis=0)
+        # last bucket divisor: max_ship * (Lmax - (Lavg - 1))
+        # (supplychain_env.py:455-461)
+        buckets.append(jnp.where(ms_ok, tail / (ms * (Lmax - (Lavg - 1))), 0.0))
+        transit_obs = jnp.stack(buckets, axis=2)  # [N,P,Lavg,B]
+
+        node_obs = jnp.concatenate(
+            [stock_obs, transit_obs.reshape(N, P * Lavg, B)], axis=1)
+        remaining = ((T - state.t) / T).astype(dtype) * jnp.ones((1, B), dtype)
+        obs = jnp.concatenate(
+            [dem_obs, node_obs.reshape(N * P * (1 + Lavg), B), remaining], axis=0)
+        return jnp.clip(2.0 * obs - 1.0, -1.0, 1.0)
+
+    def reset_fn(demands, leadtimes, B: int) -> EnvState:
+        """Fresh state from per-episode tables (reference reset, :630-682)."""
+        demands = f(demands)
+        if demands.ndim == 3:           # [T+1,R,P] -> broadcast batch
+            demands = jnp.broadcast_to(demands[..., None], (T + 1, R, P, B))
+        if cc.stochastic_leadtimes:
+            leadtimes = jnp.asarray(leadtimes, jnp.int32)
+            if leadtimes.ndim == 2:
+                leadtimes = jnp.broadcast_to(leadtimes[..., None], (T, K, B))
+        else:
+            leadtimes = None
+        return EnvState(
+            t=jnp.zeros((), jnp.int32),
+            stock=jnp.broadcast_to(f(cc.initial_stock)[:, :, None], (N, P, B)).copy(),
+            pipe=jnp.broadcast_to(f(cc.init_pipe)[:, :, :, None], (H, N, P, B)).copy(),
+            demands=demands, leadtimes=leadtimes,
+            ep_reward=jnp.zeros((B,), dtype),
+            ep_costs=jnp.zeros((8, P, B), dtype),
+            ep_units=jnp.zeros((8, P, B), dtype),
+        )
+
+    def step_fn(state: EnvState, action: jnp.ndarray):
+        B = action.shape[-1]
+        # Denormalize in the caller's dtype first (the reference computes
+        # (a+1)/2 on the float32 action before any float64 math,
+        # supplychain_env.py:697-698), then promote.
+        a = (((action + 1) * 0.5).astype(action.dtype)).astype(dtype)
+        t = state.t + 1
+
+        a_sup = jnp.where(has_supply[:, :, None],
+                          jnp.take(a, sup_act_idx, axis=0), 0.0)     # [N,P,B]
+        a_shp = jnp.where((has_ship[:, :, None] & edge_mask[:, None, :])[..., None],
+                          jnp.take(a, ship_act_idx, axis=0), 0.0)    # [N,P,Dmax,B]
+
+        costs = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
+        units = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
+
+        # --- phase 1: arrivals (act :220-228) ----------------------------
+        arrived = state.pipe[0]
+        pipe = jnp.concatenate([state.pipe[1:], jnp.zeros_like(state.pipe[:1])], 0)
+        stock = state.stock + arrived
+
+        # --- phase 2: stock-capacity overflow (act :232-240) -------------
+        excess = jnp.maximum(stock - stock_cap[:, :, None], 0.0)
+        excess = jnp.where(jnp.isfinite(stock_cap)[:, :, None], excess, 0.0)
+        costs["stock_pen"] = cc.c_stock_pen * excess.sum(0)
+        units["stock_pen"] = excess.sum(0)
+        stock = jnp.minimum(stock, stock_cap[:, :, None])
+
+        # --- phase 3: supply (act :244-259) -------------------------------
+        sup_amt = a_sup * supply_cap[:, :, None]
+        fired = has_supply[:, :, None] & (sup_amt > 0)
+        costs["supply"] = (sup_amt * supply_cost[:, :, None]).sum(0)
+        units["supply"] = sup_amt.sum(0)
+        if cc.stochastic_leadtimes:
+            lt_row = jax.lax.dynamic_index_in_dim(state.leadtimes, t - 1, 0,
+                                                  keepdims=False)    # [K,B]
+            # supply lead-time column = base + #earlier fired supplies
+            # (index advances only when supplied amount > 0, :252-254)
+            rank = jnp.cumsum(fired, axis=1) - fired.astype(jnp.int32)
+            lt_sup = _gather_lt(lt_row, lt_base[:, None, None] + rank)
+            n_fired = fired.sum(axis=1).astype(jnp.int32)            # [N,B]
+            # transport lead-time columns follow the fired supplies and are
+            # shared across products (:270, :344-348, :374-375)
+            di_idx = jnp.arange(Dmax, dtype=jnp.int32)
+            lt_shp = _gather_lt(
+                lt_row, lt_base[:, None, None] + n_fired[:, None, :]
+                + di_idx[None, :, None])                             # [N,Dmax,B]
+        else:
+            lt_sup = jnp.full((N, P, B), Lavg, jnp.int32)
+            lt_shp = jnp.full((N, Dmax, B), Lavg, jnp.int32)
+        for L in range(1, Lmax + 1):
+            contrib = jnp.where(fired & (lt_sup == L), sup_amt, 0.0)
+            pipe = pipe.at[L - 1].add(contrib)
+
+        # --- phase 4: ship (act :262-375); product loop carries shared
+        # processing / per-destination ship capacities ---------------------
+        avail_proc = jnp.broadcast_to(proc_cap[:, None], (N, B))
+        avail_ship = jnp.broadcast_to(ship_cap_edge[:, :, None], (N, Dmax, B))
+        new_stock_cols = []
+        lt_e = lt_shp[e_src, e_di]                                   # [E,B]
+        for p in range(P):
+            avail_mat = stock[:, p]                                  # [N,B]
+            v = a_shp[:, p]                                          # [N,Dmax,B]
+            # sorted-cut allocation (SC_Action.apply SHIP, :58-96): sort the
+            # action values ascending (stable => ties by destination index,
+            # like Python's tuple sort), take consecutive differences as
+            # fractions of the available stock, clamp cumulatively.
+            order = jnp.argsort(v, axis=1, stable=True)
+            v_sorted = jnp.take_along_axis(v, order, axis=1)
+            prev = jnp.concatenate([jnp.zeros_like(v_sorted[:, :1]),
+                                    v_sorted[:, :-1]], axis=1)
+            cut = (v_sorted - prev) * avail_mat[:, None, :]
+            availr = avail_mat
+            amts = []
+            for k in range(Dmax):
+                amt = jnp.minimum(cut[:, k], availr)
+                amts.append(amt)
+                availr = availr - amt
+            inv = jnp.argsort(order, axis=1)
+            amounts = jnp.take_along_axis(jnp.stack(amts, axis=1), inv, axis=1)
+            amounts = jnp.where(edge_mask[:, :, None], amounts, 0.0)
+
+            # processing-capacity clip, sequential over destinations
+            # (:298-310); decrement gated on the ORIGINAL amount > 0 and by
+            # the post-clip amount
+            exc_proc = jnp.zeros((N, B), dtype)
+            if bool(cc.is_factory.any()):
+                clipped = []
+                for i in range(Dmax):
+                    ai = amounts[:, i]
+                    gate = is_factory[:, None] & (ai > 0)
+                    over = gate & (ai > avail_proc)
+                    exc_proc = exc_proc + jnp.where(over, ai - avail_proc, 0.0)
+                    ai2 = jnp.where(over, avail_proc, ai)
+                    avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
+                    clipped.append(ai2)
+                amounts = jnp.stack(clipped, axis=1)
+                to_ship = jnp.where(is_factory[:, None, None],
+                                    amounts / proc_ratio[:, p, None, None],
+                                    amounts)
+            else:
+                to_ship = amounts
+
+            # ship-capacity clip (:312-328).  Bug-compatible: the shared
+            # capacity is decremented only in the over-capacity branch, and by
+            # the RAW amount; it may go negative and later products then clip
+            # against the negative value (SURVEY.md §2.1-4).
+            a2 = to_ship
+            gate2 = (a2 > 0) & (a2 > avail_ship)
+            exc_ship = jnp.where(gate2, a2 - avail_ship, 0.0).sum(axis=1)
+            a2c = jnp.where(gate2, avail_ship, a2)
+            raw = jnp.where(gate2,
+                            jnp.where(is_factory[:, None, None],
+                                      a2c * proc_ratio[:, p, None, None], a2c),
+                            amounts)
+            avail_ship = avail_ship - jnp.where(gate2, raw, 0.0)
+
+            leaving = raw.sum(axis=1)                                # [N,B]
+            new_stock_cols.append(avail_mat - leaving)
+
+            costs["process"] = costs["process"].at[p].add(
+                jnp.where(is_factory[:, None], leaving * proc_cost[:, p, None], 0.0).sum(0))
+            units["process"] = units["process"].at[p].add(
+                jnp.where(is_factory[:, None], leaving, 0.0).sum(0))
+            costs["process_pen"] = costs["process_pen"].at[p].add(
+                cc.c_proc_pen * exc_proc.sum(0))
+            units["process_pen"] = units["process_pen"].at[p].add(exc_proc.sum(0))
+            costs["ship_pen"] = costs["ship_pen"].at[p].add(
+                cc.c_ship_pen * exc_ship.sum(0))
+            units["ship_pen"] = units["ship_pen"].at[p].add(exc_ship.sum(0))
+            # transport costs are re-priced on post-clip shipped amounts
+            # (calculate_costs, :103-104, :350-356)
+            costs["ship"] = costs["ship"].at[p].add(
+                (a2c * ship_cost[:, p, :, None]).sum(axis=(0, 1)))
+            units["ship"] = units["ship"].at[p].add(a2c.sum(axis=(0, 1)))
+
+            # deliver into destination pipelines (push only if > 0, :343-348)
+            contrib_e = a2c[e_src, e_di]                             # [E,B]
+            lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
+            for L in range(1, Lmax + 1):
+                pipe = pipe.at[L - 1, e_dst, p].add(
+                    jnp.where(lt_ok == L, contrib_e, 0.0))
+
+        stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
+
+        # --- phase 5: retailer demand fulfillment (:378-387) --------------
+        dem_row = jax.lax.dynamic_index_in_dim(state.demands, t - 1, 0,
+                                               keepdims=False)       # [R,P,B]
+        r_stock = stock[retailer_idx]
+        fulfilled = jnp.minimum(r_stock, dem_row)
+        stock = stock.at[retailer_idx].add(-fulfilled)
+        unmet = (dem_row - fulfilled).sum(0)
+        costs["unmet_dem"] = cc.c_unmet * unmet
+        units["unmet_dem"] = unmet
+
+        # --- phase 6: holding costs (:389-394) -----------------------------
+        costs["stock"] = (stock * stock_cost[:, :, None]).sum(0)
+        units["stock"] = stock.sum(0)
+
+        cost_mat = jnp.stack([costs[k] for k in COST_KEYS])          # [8,P,B]
+        unit_mat = jnp.stack([units[k] for k in COST_KEYS])
+        reward = -cost_mat.sum(axis=(0, 1))                          # [B]
+
+        new_state = EnvState(
+            t=t, stock=stock, pipe=pipe, demands=state.demands,
+            leadtimes=state.leadtimes,
+            ep_reward=state.ep_reward + reward,
+            ep_costs=state.ep_costs + cost_mat,
+            ep_units=state.ep_units + unit_mat,
+        )
+        obs = obs_fn(new_state)
+        done = t == T
+        return new_state, StepOutput(obs=obs, reward=reward, done=done,
+                                     costs=cost_mat, units=unit_mat)
+
+    return reset_fn, step_fn, obs_fn
