@@ -74,16 +74,19 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
     device-generated) and returns a fresh ``EnvState``.
     ``step_fn(state, action)`` takes ``action[A, B]`` in [-1, 1].
     """
-    f = lambda x: jnp.asarray(x, dtype)
+    # Constants are kept as NumPy arrays so jit lowering embeds them directly
+    # (device-array closure constants force a device fetch per constant at
+    # lowering time, which is slow/fragile under the axon PJRT plugin).
+    np_dtype = np.dtype(dtype)
+    f = lambda x: np.asarray(x, np_dtype)
     N, P, Dmax, R = cc.N, cc.P, cc.Dmax, cc.R
     Lavg, Lmax, H, T, K = cc.Lavg, cc.Lmax, cc.H, cc.T, cc.K
 
-    # static constants captured by the jitted kernels
-    is_retailer = jnp.asarray(cc.is_retailer)
-    retailer_idx = jnp.asarray(cc.retailer_idx)
-    is_factory = jnp.asarray(cc.is_factory)
-    has_supply = jnp.asarray(cc.has_supply)
-    has_ship = jnp.asarray(cc.has_ship) & (~cc.is_retailer[:, None])
+    is_retailer = np.asarray(cc.is_retailer)
+    retailer_idx = np.asarray(cc.retailer_idx)
+    is_factory = np.asarray(cc.is_factory)
+    has_supply = np.asarray(cc.has_supply)
+    has_ship = np.asarray(cc.has_ship) & (~cc.is_retailer[:, None])
     supply_cap = f(cc.supply_cap)
     supply_cost = f(cc.supply_cost)
     stock_cap = f(cc.stock_cap)
@@ -93,20 +96,19 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
     proc_ratio = f(cc.proc_ratio)
     ship_cap_edge = f(cc.ship_cap_edge)
     ship_cost = f(cc.ship_cost)
-    edge_mask = jnp.asarray(cc.edge_mask)
+    edge_mask = np.asarray(cc.edge_mask)
     max_ship = f(cc.max_ship)
     dem_min = f(cc.dem_min)
     dem_rangev = f(cc.dem_range)
-    sup_act_idx = jnp.asarray(np.maximum(cc.sup_act_idx, 0))
-    ship_act_idx = jnp.asarray(np.maximum(cc.ship_act_idx, 0))
-    lt_base = jnp.asarray(cc.lt_base, jnp.int32)
+    sup_act_idx = np.maximum(cc.sup_act_idx, 0)
+    ship_act_idx = np.maximum(cc.ship_act_idx, 0)
+    lt_base = np.asarray(cc.lt_base, np.int32)
 
     # flat edge list for scatter of shipments into destination pipelines
     e_src, e_di = np.nonzero(cc.edge_mask)
-    e_dst = cc.edge_dst[e_src, e_di]
-    e_src = jnp.asarray(e_src, jnp.int32)
-    e_di = jnp.asarray(e_di, jnp.int32)
-    e_dst = jnp.asarray(e_dst, jnp.int32)
+    e_dst = np.asarray(cc.edge_dst[e_src, e_di], np.int32)
+    e_src = np.asarray(e_src, np.int32)
+    e_di = np.asarray(e_di, np.int32)
 
     def _gather_lt(lt_row, idx):
         """lt_row[K, B], idx[..., B] -> lead-times[..., B] (per-env gather)."""
@@ -148,7 +150,7 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
 
     def reset_fn(demands, leadtimes, B: int) -> EnvState:
         """Fresh state from per-episode tables (reference reset, :630-682)."""
-        demands = f(demands)
+        demands = jnp.asarray(demands, dtype)
         if demands.ndim == 3:           # [T+1,R,P] -> broadcast batch
             demands = jnp.broadcast_to(demands[..., None], (T + 1, R, P, B))
         if cc.stochastic_leadtimes:

@@ -62,8 +62,11 @@ class SupplyChainEnv:
         self.num_products = num_products
         self.build_info = build_info
         self.dtype = dtype or _default_dtype()
-        self._reset_fn, step_fn, self._obs_fn = make_supplychain_kernels(
+        reset_fn, step_fn, obs_fn = make_supplychain_kernels(
             self.cc, dtype=self.dtype)
+        # jit everything: eager dispatch costs dwarf these tiny kernels
+        self._reset_fn = jax.jit(reset_fn, static_argnums=2)
+        self._obs_fn = jax.jit(obs_fn)
         self._step_jit = jax.jit(step_fn)
         self._rng = HostEpisodeRNG(self.cc, seed)
         self.action_space = OldGymBox(-1.0, 1.0, (self.cc.A,))
@@ -85,7 +88,7 @@ class SupplyChainEnv:
         self.customer_demands = demands          # [T+1, R, P] int
         self.leadtimes = leadtimes               # [T, K] int or None
         self.state = self._reset_fn(demands, leadtimes, 1)
-        self.current_state = np.asarray(self._obs_fn(self.state))[:, 0]
+        self.current_state = jax.device_get(self._obs_fn(self.state))[:, 0]
         self.current_reward = 0.0
         self.current_info = {}
         return self.current_state
@@ -97,18 +100,24 @@ class SupplyChainEnv:
         action = np.asarray(action).ravel()[:self.cc.A]
         a = jnp.asarray(action.reshape(self.cc.A, 1))
         self.state, out = self._step_jit(self.state, a)
-        self.current_state = np.asarray(out.obs)[:, 0]
-        self.current_reward = float(out.reward[0])
-        done = bool(out.done)
+        # one batched device->host fetch per step (individual __array__ calls
+        # carry several ms of overhead each under this runtime)
         if self.build_info:
-            self.current_info = self._build_return_info()
-        return self.current_state, self.current_reward, done, self.current_info
+            obs, reward, done, epr, epc, epu = jax.device_get(
+                (out.obs, out.reward, out.done, self.state.ep_reward,
+                 self.state.ep_costs, self.state.ep_units))
+            self.current_info = self._build_return_info(epr, epc, epu)
+        else:
+            obs, reward, done = jax.device_get((out.obs, out.reward, out.done))
+        self.current_state = obs[:, 0]
+        self.current_reward = float(reward[0])
+        return self.current_state, self.current_reward, bool(done), self.current_info
 
-    def _build_return_info(self):
-        ep_costs = np.asarray(self.state.ep_costs)[..., 0]
-        ep_units = np.asarray(self.state.ep_units)[..., 0]
+    def _build_return_info(self, ep_reward, ep_costs, ep_units):
+        ep_costs = ep_costs[..., 0]
+        ep_units = ep_units[..., 0]
         return {"sc_episode": {
-            "rewards": float(self.state.ep_reward[0]),
+            "rewards": float(ep_reward[0]),
             "costs": {k: list(ep_costs[i]) for i, k in enumerate(COST_KEYS)},
             "units": {k: list(ep_units[i]) for i, k in enumerate(COST_KEYS)},
         }}
@@ -121,7 +130,7 @@ class SupplyChainEnv:
     def stock(self, node) -> np.ndarray:
         """Stock per product of a node (by name or index)."""
         n = node if isinstance(node, int) else self.cc.node_index(node)
-        return np.asarray(self.state.stock)[n, :, 0]
+        return jax.device_get(self.state.stock)[n, :, 0]
 
     def pipeline(self, node, prod: int = 0):
         """In-transit material of a node/product as [(arrival_time, amount)],
@@ -129,7 +138,7 @@ class SupplyChainEnv:
         ``shipments_by_prod`` heap contents)."""
         n = node if isinstance(node, int) else self.cc.node_index(node)
         t = int(self.state.t)
-        pipe = np.asarray(self.state.pipe)[:, n, prod, 0]
+        pipe = jax.device_get(self.state.pipe)[:, n, prod, 0]
         return [(t + 1 + j, float(v)) for j, v in enumerate(pipe) if v != 0]
 
     def render(self, mode="human"):
