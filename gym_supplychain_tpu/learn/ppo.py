@@ -1,0 +1,153 @@
+"""Compact PPO learner driving the batched env — the missing training layer.
+
+The reference was consumed by external stable-baselines loops (SURVEY.md §3.5,
+supplychain_env.py:794-795); this provides a native on-device learner:
+rollout via ``lax.scan`` over the batched step kernel, GAE, clipped PPO
+updates with optax, everything inside one jitted ``train_step``.
+
+Scaling model (SURVEY.md §5 "distributed communication backend"): the env
+batch axis (trailing) is the data-parallel axis.  Shard ``VecState``/rollout
+arrays over a mesh 'data' axis and keep params replicated (or hidden-dim
+sharded over an optional 'model' axis, models/policy.py:param_shardings);
+XLA inserts the psum/all-gather collectives from the sharding annotations —
+no hand-written communication.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.compile import CompiledChain
+from ..envs.vector import VecState, make_vec_env
+from ..models.policy import (MLPConfig, actor_critic_forward, init_actor_critic,
+                             sample_tanh_gaussian, tanh_gaussian_logp)
+
+__all__ = ["PPOConfig", "TrainState", "make_ppo"]
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 16
+    epochs: int = 2
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip: float = 0.2
+    lr: float = 3e-4
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    hidden: Tuple[int, ...] = (128, 128)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env: VecState
+    key: jax.Array
+
+
+class Trajectory(NamedTuple):
+    obs: jax.Array       # [S, obs_dim, B]
+    act_pre: jax.Array   # [S, A, B] pre-tanh actions
+    logp: jax.Array      # [S, B]
+    reward: jax.Array    # [S, B]
+    value: jax.Array     # [S, B]
+    done: jax.Array      # [S]
+
+
+def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
+             dtype=jnp.float32, reward_scale: float = 1e-4):
+    """Build (init_fn, train_step) for PPO on a compiled chain.
+
+    ``init_fn(key) -> TrainState``; ``train_step(state) -> (state, metrics)``
+    runs one rollout of ``cfg.rollout_steps`` and ``cfg.epochs`` full-batch
+    PPO updates.  Jit/shard the returned function as a whole.
+    """
+    B = batch_size
+    env_init, env_step, env_obs = make_vec_env(cc, B, dtype)
+    mcfg = MLPConfig(obs_dim=cc.obs_dim, act_dim=cc.A, hidden=cfg.hidden)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr))
+
+    def init_fn(key) -> TrainState:
+        kp, ke, kk = jax.random.split(key, 3)
+        params = init_actor_critic(kp, mcfg, dtype)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          env=env_init(ke), key=kk)
+
+    def _rollout(params, env_state: VecState, key):
+        obs0 = env_obs(env_state)
+
+        def body(carry, k):
+            env_state, obs = carry
+            mu, log_std, value = actor_critic_forward(params, obs)
+            eps = jax.random.normal(k, mu.shape, mu.dtype)
+            pre = mu + jnp.exp(log_std) * eps
+            act = jnp.tanh(pre)
+            logp = tanh_gaussian_logp(pre, mu, log_std)
+            env_state, out = env_step(env_state, act)
+            traj = Trajectory(obs=obs, act_pre=pre, logp=logp,
+                              reward=out.reward * reward_scale, value=value,
+                              done=out.done)
+            return (env_state, out.obs), traj
+
+        keys = jax.random.split(key, cfg.rollout_steps)
+        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys)
+        _, _, last_value = actor_critic_forward(params, last_obs)
+        return env_state, traj, last_value
+
+    def _gae(traj: Trajectory, last_value):
+        def body(carry, xs):
+            gae, next_value = carry
+            reward, value, done = xs
+            nonterm = jnp.where(done, 0.0, 1.0)
+            delta = reward + cfg.gamma * next_value * nonterm - value
+            gae = delta + cfg.gamma * cfg.lam * nonterm * gae
+            return (gae, value), gae
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (traj.reward, traj.value, traj.done), reverse=True)
+        return adv, adv + traj.value
+
+    def _loss(params, traj: Trajectory, adv, ret):
+        S = cfg.rollout_steps
+        obs = traj.obs.transpose(1, 0, 2).reshape(cc.obs_dim, -1)   # [obs, S*B]
+        pre = traj.act_pre.transpose(1, 0, 2).reshape(cc.A, -1)
+        mu, log_std, value = actor_critic_forward(params, obs)
+        logp = tanh_gaussian_logp(pre, mu, log_std)
+        old_logp = traj.logp.reshape(-1)
+        advf = adv.reshape(-1)
+        advf = (advf - advf.mean()) / (advf.std() + 1e-8)
+        ratio = jnp.exp(logp - old_logp)
+        pg = -jnp.minimum(ratio * advf,
+                          jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * advf).mean()
+        vf = 0.5 * ((value - ret.reshape(-1)) ** 2).mean()
+        ent = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum()
+        return pg + cfg.vf_coef * vf - cfg.ent_coef * ent, (pg, vf)
+
+    def train_step(state: TrainState):
+        key, kr = jax.random.split(state.key)
+        env_state, traj, last_value = _rollout(state.params, state.env, kr)
+        adv, ret = _gae(traj, last_value)
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
+                params, traj, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (state.params, state.opt_state), None, length=cfg.epochs)
+        metrics = {"loss": losses[-1],
+                   "mean_reward": traj.reward.mean() / reward_scale,
+                   "mean_value": traj.value.mean()}
+        return TrainState(params=params, opt_state=opt_state, env=env_state,
+                          key=key), metrics
+
+    return init_fn, train_step

@@ -1,0 +1,90 @@
+"""Training CLI: PPO over batched envs, optionally sharded over a mesh.
+
+Usage (single chip):
+    python -m gym_supplychain_tpu.learn.train --env supplychain-ntom-v0 \
+        --envs 4096 --iters 200
+Multi-host (one process per host; TPU pods auto-detect the coordinator):
+    python -m gym_supplychain_tpu.learn.train --multihost ...
+
+This supplies the training entry point the reference delegated to external
+stable-baselines loops (SURVEY.md §3.5).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="supplychain-ntom-v0")
+    p.add_argument("--envs", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--rollout-steps", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--hidden", type=int, nargs="+", default=[128, 128])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--horizon", type=int, default=360)
+    p.add_argument("--model-axis", type=int, default=1,
+                   help="tensor-parallel degree over policy hidden dims")
+    p.add_argument("--multihost", action="store_true")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--trace-dir", default=None)
+    p.add_argument("--log-every", type=int, default=10)
+    args = p.parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+    from gym_supplychain_tpu.models.policy import param_shardings
+    from gym_supplychain_tpu.parallel.mesh import (make_mesh, replicated,
+                                                   shard_vec_state)
+    from gym_supplychain_tpu.utils.checkpoint import (restore_checkpoint,
+                                                      save_checkpoint)
+    from gym_supplychain_tpu.utils.profiling import (Throughput, log_metrics,
+                                                     trace)
+
+    cc = sct.make(args.env, total_time_steps=args.horizon).cc
+    cfg = PPOConfig(rollout_steps=args.rollout_steps, epochs=args.epochs,
+                    lr=args.lr, hidden=tuple(args.hidden))
+    init_fn, train_step = make_ppo(cc, args.envs, cfg)
+    state = init_fn(jax.random.PRNGKey(args.seed))
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = make_mesh(data=n_dev // args.model_axis, model=args.model_axis)
+        state = state._replace(
+            env=shard_vec_state(mesh, state.env),
+            params=jax.tree.map(jax.device_put, state.params,
+                                param_shardings(state.params, mesh, "model")),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+        )
+        print(f"# mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
+    if args.restore:
+        state = restore_checkpoint(args.restore, like=state)
+
+    step_jit = jax.jit(train_step)
+    meter = Throughput(args.envs * cfg.rollout_steps)
+    with trace(args.trace_dir):
+        for it in range(args.iters):
+            state, metrics = step_jit(state)
+            if (it + 1) % args.log_every == 0:
+                jax.block_until_ready(metrics)
+                sps = meter.update(args.log_every) if it else meter.update(1)
+                log_metrics(it + 1, {**metrics, "env_steps_per_s": sps})
+    jax.block_until_ready(state.params)
+    if args.checkpoint_dir:
+        path = save_checkpoint(args.checkpoint_dir, state, step=args.iters)
+        print(f"# checkpoint: {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Policy/value networks for the supply-chain envs (pure JAX pytrees).
+
+The reference has no model code at all (SURVEY.md §3.5: training was external
+stable-baselines); this supplies the missing learner layer natively.  Obs are
+small (<~100 dims) so the policy is an MLP; batch stays the trailing axis
+(``x[obs_dim, B]``) so layers are ``W[h_out, h_in] @ x`` — batch rides the MXU
+lane dimension.
+
+Tensor-parallel hook: ``hidden_sharding`` names a mesh axis to shard the
+hidden dimension over (SURVEY.md §2 TP row: documented as an optional pjit
+axis, not bespoke machinery — XLA inserts the collectives).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["MLPConfig", "init_actor_critic", "actor_critic_forward",
+           "sample_tanh_gaussian", "tanh_gaussian_logp", "param_shardings"]
+
+LOG_STD_MIN, LOG_STD_MAX = -5.0, 2.0
+
+
+class MLPConfig(NamedTuple):
+    obs_dim: int
+    act_dim: int
+    hidden: Tuple[int, ...] = (128, 128)
+
+
+def init_actor_critic(key, cfg: MLPConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """Orthogonal-ish init actor-critic trunk + heads."""
+    def dense(key, n_out, n_in, scale):
+        w = jax.random.normal(key, (n_out, n_in), dtype) * scale / np.sqrt(n_in)
+        return {"w": w, "b": jnp.zeros((n_out, 1), dtype)}
+
+    keys = jax.random.split(key, 2 * len(cfg.hidden) + 3)
+    params = {"actor": [], "critic": []}
+    n_in = cfg.obs_dim
+    for i, h in enumerate(cfg.hidden):
+        params["actor"].append(dense(keys[2 * i], h, n_in, 1.0))
+        params["critic"].append(dense(keys[2 * i + 1], h, n_in, 1.0))
+        n_in = h
+    params["mu"] = dense(keys[-3], cfg.act_dim, n_in, 0.01)
+    params["v"] = dense(keys[-2], 1, n_in, 1.0)
+    params["log_std"] = jnp.full((cfg.act_dim, 1), -0.5, dtype)
+    return params
+
+
+def actor_critic_forward(params, obs):
+    """obs[obs_dim, B] -> (mu[A, B], log_std[A, 1], value[B])."""
+    a = obs
+    c = obs
+    for layer in params["actor"]:
+        a = jnp.tanh(layer["w"] @ a + layer["b"])
+    for layer in params["critic"]:
+        c = jnp.tanh(layer["w"] @ c + layer["b"])
+    mu = params["mu"]["w"] @ a + params["mu"]["b"]
+    v = (params["v"]["w"] @ c + params["v"]["b"])[0]
+    log_std = jnp.clip(params["log_std"], LOG_STD_MIN, LOG_STD_MAX)
+    return mu, log_std, v
+
+
+def sample_tanh_gaussian(key, mu, log_std):
+    """Tanh-squashed Gaussian sample for the Box(-1, 1) action space.
+    Returns (action in (-1, 1), log-prob)."""
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    pre = mu + jnp.exp(log_std) * eps
+    act = jnp.tanh(pre)
+    logp = tanh_gaussian_logp(pre, mu, log_std)
+    return act, logp
+
+
+def tanh_gaussian_logp(pre_tanh, mu, log_std):
+    """Log-density of tanh(N(mu, std)) evaluated at tanh(pre_tanh),
+    summed over the action axis -> [B]."""
+    std = jnp.exp(log_std)
+    g = -0.5 * (((pre_tanh - mu) / std) ** 2 + 2 * log_std
+                + jnp.log(2 * jnp.pi))
+    # tanh change of variables: log(1 - tanh(x)^2) = 2(log2 - x - softplus(-2x))
+    corr = 2 * (jnp.log(2.0) - pre_tanh - jax.nn.softplus(-2 * pre_tanh))
+    return (g - corr).sum(axis=0)
+
+
+def param_shardings(params, mesh, hidden_axis: Optional[str] = "model"):
+    """NamedSharding tree: replicate everything except the hidden dims of the
+    trunk layers, which shard over ``hidden_axis`` when the mesh has it
+    (the optional TP axis).  Returns a pytree matching ``params``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def repl():
+        return NamedSharding(mesh, P())
+
+    def shard_hidden(n_axes):
+        if hidden_axis and hidden_axis in mesh.axis_names:
+            return NamedSharding(mesh, P(hidden_axis, *([None] * (n_axes - 1))))
+        return repl()
+
+    out = {"actor": [], "critic": []}
+    for branch in ("actor", "critic"):
+        for layer in params[branch]:
+            out[branch].append({"w": shard_hidden(2), "b": shard_hidden(2)})
+    # heads contract over the (sharded) hidden axis -> replicate outputs
+    out["mu"] = {"w": repl(), "b": repl()}
+    out["v"] = {"w": repl(), "b": repl()}
+    out["log_std"] = repl()
+    return out

@@ -1,0 +1,76 @@
+"""Device mesh setup and sharding layouts.
+
+TPU-native replacement for a distributed communication backend (the reference
+has none; SURVEY.md §2/§5): multi-host process groups via
+``jax.distributed.initialize``, a ``Mesh`` with a ``data`` axis (env batch)
+and an optional ``model`` axis (TP hook for the learner's hidden dims), and
+NamedShardings over the batch-trailing arrays.  All collectives are emitted by
+XLA from these annotations (psum of gradients over ICI within a slice, DCN
+across slices) — no explicit send/recv anywhere.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["init_distributed", "make_mesh", "batch_sharding",
+           "shard_vec_state", "replicated"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Initialize multi-host JAX (no-op for single process).
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU multi-process runs.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices=None) -> Mesh:
+    """Mesh with ('data', 'model') axes over all (or given) devices.
+
+    ``data`` defaults to n_devices // model.  With model=1 this is the pure
+    env-batch data-parallel mesh of the north-star config.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a batch-trailing array: last axis split over 'data'."""
+    return NamedSharding(mesh, P())  # placeholder; use trailing_sharding
+
+
+def trailing_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the trailing (env batch) axis of an ndim-array over 'data'."""
+    return NamedSharding(mesh, P(*([None] * (ndim - 1) + ["data"])))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_vec_state(mesh: Mesh, state):
+    """Place a ``VecState``/``EnvState`` pytree with every array's trailing
+    env-batch axis sharded over 'data' (PRNG keys and scalars replicated)."""
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        if hasattr(x, "dtype") and x.dtype == jax.random.PRNGKey(0).dtype \
+                and x.ndim == 1:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, trailing_sharding(mesh, x.ndim))
+    return jax.tree.map(place, state)

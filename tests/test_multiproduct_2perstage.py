@@ -11,7 +11,7 @@ from gym_supplychain_tpu import (
     SupplyChainMultiProduct_DemConfigByProd,
     SupplyChainMultiProduct_DemConfigByProd_IncCosts,
     SupplyChainMultiProduct_IncreasingCosts)
-from .utils import pipes
+from .utils import assert_pipes, pipes
 
 FULL = bool(os.environ.get("GST_FULL"))
 
@@ -165,8 +165,8 @@ def test_basic_dynamics():
         assert pipes(env, n, 0) == {3: 6.75, 4: (7.5 + 1) / 2 + (6 + 4) / 2}
         assert pipes(env, n, 1) == {3: 2.25, 4: (3 + 2) / 4 + (1.5 + 3) / 4}
     for n in (4, 5):
-        assert pipes(env, n, 0) == {3: 4, 4: (9 + 3) / 2 / 2 + (7 + 2) / 2 / 2}
-        assert pipes(env, n, 1) == {3: 1, 4: (3 + 1) / 3 / 4 + (3 + 4) / 3 / 4}
+        assert_pipes(env, n, 0, {3: 4, 4: (9 + 3) / 2 / 2 + (7 + 2) / 2 / 2})
+        assert_pipes(env, n, 1, {3: 1, 4: (3 + 1) / 3 / 4 + (3 + 4) / 3 / 4})
     for n in (6, 7):
         assert pipes(env, n, 0) == {3: 11, 4: (12 + 7) / 2 + (10 + 6) / 2}
         assert pipes(env, n, 1) == {3: 6, 4: (6 + 5) / 4 + (6 + 8) / 4}

@@ -1,0 +1,149 @@
+"""Vectorized env, PPO learner, and multi-device mesh tests (all new
+capability vs the reference; SURVEY.md §2 bottom rows)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_supplychain_tpu import compile_chain
+from gym_supplychain_tpu.envs.vector import VecSupplyChainEnv, make_vec_env
+from .utils import simple_chain
+
+
+def _cc(T=6, stochastic=False):
+    return compile_chain(
+        simple_chain(initial_stock=10, stock_capacity=100, supply_capacity=50,
+                     processing_capacity=100, ship_capacity=100),
+        demand_range=(0, 5), processing_ratio=2, total_time_steps=T,
+        stochastic_leadtimes=stochastic, avg_leadtime=2,
+        max_leadtime=4 if stochastic else 2)
+
+
+def test_vec_host_mode_matches_single_env():
+    """Batch lane b of host-mode vec env == episode b of the single-env
+    stream, under identical action sequences."""
+    from gym_supplychain_tpu import SupplyChainEnv
+    T, B = 6, 3
+    env = SupplyChainEnv(simple_chain(initial_stock=10, stock_capacity=100,
+                                      supply_capacity=50, processing_capacity=100,
+                                      ship_capacity=100),
+                         demand_range=(0, 5), processing_ratio=2,
+                         total_time_steps=T)
+    env.seed(42)
+    actions = 2 * np.linspace(0, 1, T * env.cc.A).reshape(T, env.cc.A) - 1
+    single_rewards = np.zeros((B, T))
+    for ep in range(B):
+        env.reset()
+        for t in range(T):
+            _, r, _, _ = env.step(actions[t])
+            single_rewards[ep, t] = r
+
+    vec = VecSupplyChainEnv(cc=_cc(T), batch_size=B, rng_mode="host", seed=42,
+                            dtype=jnp.float64)
+    vec.reset()
+    vec_rewards = np.zeros((B, T))
+    for t in range(T):
+        a = jnp.asarray(np.repeat(actions[t][:, None], B, axis=1))
+        out = vec.step(a)
+        vec_rewards[:, t] = np.asarray(out.reward)
+    assert np.allclose(single_rewards, vec_rewards)
+
+
+def test_vec_autoreset():
+    """Device-mode env auto-resets at T: clock wraps, obs stays in range, new
+    episode tables differ."""
+    T, B = 4, 8
+    vec = VecSupplyChainEnv(cc=_cc(T, stochastic=True), batch_size=B)
+    vec.reset()
+    d0 = np.asarray(vec.state.env.demands)
+    rng = np.random.RandomState(0)
+    for t in range(2 * T):
+        a = jnp.asarray(2 * rng.rand(vec.cc.A, B) - 1, jnp.float32)
+        out = vec.step(a)
+        assert np.isfinite(np.asarray(out.reward)).all()
+        obs = np.asarray(out.obs)
+        assert (obs >= -1 - 1e-6).all() and (obs <= 1 + 1e-6).all()
+    # steps T and 2T both hit done -> auto-reset; after 2T steps t is 0 again
+    assert int(vec.state.env.t) == 0
+    d1 = np.asarray(vec.state.env.demands)
+    assert not np.array_equal(d0, d1)  # fresh episode tables after auto-reset
+
+
+def test_vec_scan_rollout_deterministic():
+    cc = _cc(5)
+    init_fn, step_fn, obs_fn = make_vec_env(cc, 16)
+
+    def total(key):
+        st = init_fn(key)
+
+        def body(st, k):
+            a = jax.random.uniform(k, (cc.A, 16), minval=-1.0, maxval=1.0)
+            st, out = step_fn(st, a)
+            return st, out.reward
+
+        _, rews = jax.lax.scan(body, st, jax.random.split(key, 10))
+        return rews.sum()
+
+    f = jax.jit(total)
+    r1 = float(f(jax.random.PRNGKey(7)))
+    r2 = float(f(jax.random.PRNGKey(7)))
+    assert r1 == r2
+    assert r1 != float(f(jax.random.PRNGKey(8)))
+
+
+def test_ppo_train_step_learns_shapes():
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+    cc = _cc(8, stochastic=True)
+    cfg = PPOConfig(rollout_steps=4, epochs=2, hidden=(32, 32))
+    init_fn, train_step = make_ppo(cc, 16, cfg)
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    p0 = jax.tree.map(np.asarray, state.params)
+    for _ in range(3):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mean_reward"]))
+    changed = jax.tree.map(lambda a, b: not np.allclose(a, np.asarray(b)),
+                           p0, state.params)
+    assert any(jax.tree.leaves(changed))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(np.asarray(out[2])).all()   # rewards
+
+
+def test_sharded_matches_single_device():
+    """Same rollout, sharded over the 8-device mesh vs single device ->
+    identical total reward (determinism across shardings)."""
+    from gym_supplychain_tpu.parallel.mesh import make_mesh, shard_vec_state
+    cc = _cc(5, stochastic=True)
+    B = 16
+    init_fn, step_fn, obs_fn = make_vec_env(cc, B)
+
+    def total(st, key):
+        def body(st, k):
+            a = jax.random.uniform(k, (cc.A, B), minval=-1.0, maxval=1.0)
+            st, out = step_fn(st, a)
+            return st, out.reward
+
+        _, rews = jax.lax.scan(body, st, jax.random.split(key, 10))
+        return rews.sum()
+
+    key = jax.random.PRNGKey(3)
+    st = init_fn(key)
+    r_single = float(jax.jit(total)(st, key))
+    mesh = make_mesh(data=8, model=1)
+    st_sharded = shard_vec_state(mesh, init_fn(key))
+    r_sharded = float(jax.jit(total)(st_sharded, key))
+    assert np.allclose(r_single, r_sharded)

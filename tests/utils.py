@@ -8,6 +8,15 @@ def pipes(env, node, prod=0):
     return {t: a for t, a in env.pipeline(node, prod)}
 
 
+def assert_pipes(env, node, prod, expected):
+    """Pipeline equality with float tolerance (dense buckets sum the
+    reference's per-entry heap amounts, so ULP-level differences arise)."""
+    got = pipes(env, node, prod)
+    assert sorted(got) == sorted(expected), (got, expected)
+    for t in expected:
+        assert np.allclose(got[t], expected[t]), (node, prod, t, got, expected)
+
+
 def check_rewards(acumm_rewards, info, num_products):
     """Accumulated rewards must equal the episode stats and -sum(costs)
     (reference tests/utils.py:3-11)."""
