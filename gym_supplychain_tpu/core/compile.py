@@ -134,6 +134,13 @@ class CompiledChain:
     dem_min: np.ndarray          # [P] f64 (obs normalizer offset)
     dem_range: np.ndarray        # [P] f64 (obs normalizer scale)
 
+    # --- reset-time pipeline pushes in exact reference order --------------
+    # per node: ((prod, time, amount), ...) — initial_supply then
+    # initial_shipments, product-major, arriving at t=1.. (reference
+    # SC_Node.reset, supplychain_env.py:402-412).  Feeds the strict-parity
+    # heap mirror; the dense init_pipe above is its aggregation.
+    init_push_seq: Tuple[Tuple[Tuple[int, int, float], ...], ...] = ()
+
     def node_index(self, name: str) -> int:
         return self.node_names.index(name)
 
@@ -322,13 +329,17 @@ def compile_chain(nodes_info: Dict[str, Dict[str, Any]],
                 max_init = max(max_init, len(per_prod))
     H = max(max_leadtime, max_init)
     init_pipe = np.zeros((H, N, P))
+    init_push_seq = []
     for i in range(N):
+        pushes = []
         for lst in (init_supply_lists[i], init_ship_lists[i]):
             if not lst:
                 continue
             for p in range(P):
                 for j, amt in enumerate(lst[p]):
                     init_pipe[j, i, p] += amt
+                    pushes.append((p, j + 1, float(amt)))
+        init_push_seq.append(tuple(pushes))
 
     obs_dim = R * P + N * P + N * P * avg_leadtime + 1
 
@@ -353,4 +364,5 @@ def compile_chain(nodes_info: Dict[str, Dict[str, Any]],
         c_proc_pen=float(exceeded_process_capacity_cost),
         c_ship_pen=float(exceeded_ship_capacity_cost),
         demand=demand, dem_min=dem_min, dem_range=dem_rng,
+        init_push_seq=tuple(init_push_seq),
     )

@@ -65,9 +65,16 @@ class StepOutput(NamedTuple):
     done: jnp.ndarray        # scalar bool
     costs: jnp.ndarray       # [8, P, B] this-step cost per category (over nodes)
     units: jnp.ndarray       # [8, P, B]
+    # optional push introspection (debug=True kernels; None otherwise) —
+    # feeds the host-side heap mirror for strict observation parity
+    sup_push: Optional[jnp.ndarray] = None   # [N, P, B] supplied amounts
+    sup_lt: Optional[jnp.ndarray] = None     # [N, P, B] supply lead-times
+    ship_push: Optional[jnp.ndarray] = None  # [E, P, B] shipped amounts
+    ship_lt: Optional[jnp.ndarray] = None    # [E, B] transport lead-times
 
 
-def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
+def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
+                             debug: bool = False):
     """Build (reset_fn, step_fn, obs_fn) closures over a compiled chain.
 
     ``reset_fn(demands, leadtimes, B)`` takes per-episode tables (host- or
@@ -143,7 +150,7 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
 
         node_obs = jnp.concatenate(
             [stock_obs, transit_obs.reshape(N, P * Lavg, B)], axis=1)
-        remaining = ((T - state.t) / T).astype(dtype) * jnp.ones((1, B), dtype)
+        remaining = ((T - state.t).astype(dtype) / T) * jnp.ones((1, B), dtype)
         obs = jnp.concatenate(
             [dem_obs, node_obs.reshape(N * P * (1 + Lavg), B), remaining], axis=0)
         return jnp.clip(2.0 * obs - 1.0, -1.0, 1.0)
@@ -171,16 +178,24 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
 
     def step_fn(state: EnvState, action: jnp.ndarray):
         B = action.shape[-1]
-        # Denormalize in the caller's dtype first (the reference computes
-        # (a+1)/2 on the float32 action before any float64 math,
-        # supplychain_env.py:697-698), then promote.
-        a = (((action + 1) * 0.5).astype(action.dtype)).astype(dtype)
+        # The reference performs the action-facing arithmetic on the raw
+        # (usually float32) action values before any float64 state math:
+        # denormalization (supplychain_env.py:697-698), the supplied amount
+        # and its cost (SC_Action.apply SUPPLY :49-57 — float32 * int stays
+        # float32), and the sorted-cut differences (:78-94).  Keep those in
+        # the action's own dtype and promote afterwards so float64 parity
+        # mode reproduces the reference's float32 rounding exactly.
+        # integer action arrays promote to float64 at (a+1)/2 upstream
+        adt = action.dtype if jnp.issubdtype(action.dtype, jnp.floating) \
+            else jnp.dtype(dtype)
+        a = ((action.astype(adt) + 1) * jnp.asarray(0.5, adt)).astype(adt)
         t = state.t + 1
 
+        zero_a = jnp.zeros((), adt)
         a_sup = jnp.where(has_supply[:, :, None],
-                          jnp.take(a, sup_act_idx, axis=0), 0.0)     # [N,P,B]
+                          jnp.take(a, sup_act_idx, axis=0), zero_a)  # [N,P,B]
         a_shp = jnp.where((has_ship[:, :, None] & edge_mask[:, None, :])[..., None],
-                          jnp.take(a, ship_act_idx, axis=0), 0.0)    # [N,P,Dmax,B]
+                          jnp.take(a, ship_act_idx, axis=0), zero_a)  # [N,P,Dmax,B]
 
         costs = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
         units = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
@@ -197,10 +212,14 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
         units["stock_pen"] = excess.sum(0)
         stock = jnp.minimum(stock, stock_cap[:, :, None])
 
-        # --- phase 3: supply (act :244-259) -------------------------------
-        sup_amt = a_sup * supply_cap[:, :, None]
+        # --- phase 3: supply (act :244-259); amount and cost are computed
+        # in the action dtype like the reference (f32 * int -> f32), then
+        # promoted ---------------------------------------------------------
+        sup_amt_raw = a_sup * supply_cap.astype(adt)[:, :, None]
+        sup_amt = sup_amt_raw.astype(dtype)
         fired = has_supply[:, :, None] & (sup_amt > 0)
-        costs["supply"] = (sup_amt * supply_cost[:, :, None]).sum(0)
+        costs["supply"] = (sup_amt_raw
+                           * supply_cost.astype(adt)[:, :, None]).astype(dtype).sum(0)
         units["supply"] = sup_amt.sum(0)
         if cc.stochastic_leadtimes:
             lt_row = jax.lax.dynamic_index_in_dim(state.leadtimes, t - 1, 0,
@@ -228,6 +247,7 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
         avail_proc = jnp.broadcast_to(proc_cap[:, None], (N, B))
         avail_ship = jnp.broadcast_to(ship_cap_edge[:, :, None], (N, Dmax, B))
         new_stock_cols = []
+        ship_pushes = []
         lt_e = lt_shp[e_src, e_di]                                   # [E,B]
         for p in range(P):
             avail_mat = stock[:, p]                                  # [N,B]
@@ -240,7 +260,17 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
             v_sorted = jnp.take_along_axis(v, order, axis=1)
             prev = jnp.concatenate([jnp.zeros_like(v_sorted[:, :1]),
                                     v_sorted[:, :-1]], axis=1)
-            cut = (v_sorted - prev) * avail_mat[:, None, :]
+            # the cut difference is computed on the raw action dtype
+            # (reference :83-84 subtracts two float32 action values).  When
+            # the stock sits exactly at capacity, the reference's
+            # min(capacity, stock) returns the Python int capacity and the
+            # product stays in the action dtype; otherwise the float64 stock
+            # promotes it (:62-64, :84).
+            vdiff = v_sorted - prev                                  # adt
+            cut_f64 = vdiff.astype(dtype) * avail_mat[:, None, :]
+            at_cap = (avail_mat == stock_cap[:, p, None])[:, None, :]
+            cut_raw = (vdiff * avail_mat.astype(adt)[:, None, :]).astype(dtype)
+            cut = jnp.where(at_cap, cut_raw, cut_f64)
             availr = avail_mat
             amts = []
             for k in range(Dmax):
@@ -307,6 +337,8 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
 
             # deliver into destination pipelines (push only if > 0, :343-348)
             contrib_e = a2c[e_src, e_di]                             # [E,B]
+            if debug:
+                ship_pushes.append(contrib_e)
             lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
             for L in range(1, Lmax + 1):
                 pipe = pipe.at[L - 1, e_dst, p].add(
@@ -341,7 +373,13 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32):
         )
         obs = obs_fn(new_state)
         done = t == T
-        return new_state, StepOutput(obs=obs, reward=reward, done=done,
-                                     costs=cost_mat, units=unit_mat)
+        out = StepOutput(obs=obs, reward=reward, done=done,
+                         costs=cost_mat, units=unit_mat)
+        if debug:
+            out = out._replace(sup_push=jnp.where(fired, sup_amt, 0.0),
+                               sup_lt=lt_sup,
+                               ship_push=jnp.stack(ship_pushes, axis=1),
+                               ship_lt=lt_e)
+        return new_state, out
 
     return reset_fn, step_fn, obs_fn

@@ -43,7 +43,7 @@ class SupplyChainEnv:
                  processing_ratio=3, stochastic_leadtimes=False,
                  avg_leadtime=2, max_leadtime=2, total_time_steps=360,
                  seed=None, build_info=False, demand_perturb_norm=False,
-                 dtype=None):
+                 dtype=None, strict_obs=False):
         self.cc: CompiledChain = compile_chain(
             nodes_info, num_products=num_products,
             unmet_demand_cost=unmet_demand_cost,
@@ -62,12 +62,19 @@ class SupplyChainEnv:
         self.num_products = num_products
         self.build_info = build_info
         self.dtype = dtype or _default_dtype()
+        # strict_obs: bit-exact observation parity incl. the reference's
+        # heap-array-order quirk (SURVEY.md §2.1-7) via a host heap mirror
+        # fed by the kernel's push introspection outputs
+        self.strict_obs = bool(strict_obs)
         reset_fn, step_fn, obs_fn = make_supplychain_kernels(
-            self.cc, dtype=self.dtype)
+            self.cc, dtype=self.dtype, debug=self.strict_obs)
         # jit everything: eager dispatch costs dwarf these tiny kernels
         self._reset_fn = jax.jit(reset_fn, static_argnums=2)
         self._obs_fn = jax.jit(obs_fn)
         self._step_jit = jax.jit(step_fn)
+        if self.strict_obs:
+            from .strict_obs import HeapMirror
+            self._mirror = HeapMirror(self.cc)
         self._rng = HostEpisodeRNG(self.cc, seed)
         self.action_space = OldGymBox(-1.0, 1.0, (self.cc.A,))
         self.observation_space = OldGymBox(-1.0, 1.0, (self.cc.obs_dim,))
@@ -88,7 +95,12 @@ class SupplyChainEnv:
         self.customer_demands = demands          # [T+1, R, P] int
         self.leadtimes = leadtimes               # [T, K] int or None
         self.state = self._reset_fn(demands, leadtimes, 1)
-        self.current_state = jax.device_get(self._obs_fn(self.state))[:, 0]
+        if self.strict_obs:
+            self._mirror.reset()
+            self.current_state = self._mirror.build_observation(
+                0, jax.device_get(self.state.stock)[..., 0], demands)
+        else:
+            self.current_state = jax.device_get(self._obs_fn(self.state))[:, 0]
         self.current_reward = 0.0
         self.current_info = {}
         return self.current_state
@@ -110,6 +122,15 @@ class SupplyChainEnv:
         else:
             obs, reward, done = jax.device_get((out.obs, out.reward, out.done))
         self.current_state = obs[:, 0]
+        if self.strict_obs:
+            t = int(self.state.t)
+            adt = action.dtype if np.issubdtype(action.dtype, np.floating) \
+                else np.float64
+            self._mirror.step(t, out.sup_push, out.sup_lt, out.ship_push,
+                              out.ship_lt, action_dtype=adt)
+            self.current_state = self._mirror.build_observation(
+                t, jax.device_get(self.state.stock)[..., 0],
+                self.customer_demands)
         self.current_reward = float(reward[0])
         return self.current_state, self.current_reward, bool(done), self.current_info
 
