@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.compile import CompiledChain, DemandConfig
 
-__all__ = ["generate_demand", "HostEpisodeRNG"]
+__all__ = ["generate_demand", "HostEpisodeRNG", "BatchHostRNG"]
 
 
 def uniform_data(rs: np.random.RandomState, shape, minv, maxv):
@@ -114,4 +114,86 @@ class HostEpisodeRNG:
             ls.append(l)
         demands = np.stack(ds, axis=-1)
         leadtimes = np.stack(ls, axis=-1) if ls[0] is not None else None
+        return demands, leadtimes
+
+
+class BatchHostRNG:
+    """B independent MT19937 streams (lane b == a reference env seeded
+    ``seeds[b]``), batched table fills.
+
+    Uses the native multithreaded generator (gym_supplychain_tpu.native,
+    bit-exact NumPy-legacy streams) when the C++ library builds; otherwise a
+    NumPy loop over lanes.  Per-lane draw order matches ``HostEpisodeRNG``
+    exactly, and consecutive calls continue each lane's stream.
+    """
+
+    def __init__(self, cc: CompiledChain, seeds):
+        self.cc = cc
+        self.seeds = list(seeds)
+        self.B = len(self.seeds)
+        self._native = None
+        try:
+            from .. import native
+            if native.available():
+                self._native = native.NativeBatchRNG(self.seeds)
+        except Exception:
+            self._native = None
+        if self._native is None:
+            self._streams = [np.random.RandomState(s) for s in self.seeds]
+
+    # -- batched draw primitives (each: [B, n] with per-lane streams) ------
+    def _randint(self, low, high_excl, n):
+        if self._native is not None:
+            return self._native.randint(int(low), int(high_excl), n)
+        return np.stack([rs.randint(low, high_excl, size=n)
+                         for rs in self._streams])
+
+    def _normal(self, loc, scale, n):
+        if self._native is not None:
+            return self._native.normal(float(loc), float(scale), n)
+        return np.stack([rs.normal(loc, scale, size=n)
+                         for rs in self._streams])
+
+    def _poisson(self, lam, n):
+        if self._native is not None:
+            return self._native.poisson(float(lam), n)
+        return np.stack([rs.poisson(lam, size=n) for rs in self._streams])
+
+    def _demand(self, cfg: DemandConfig, shape):
+        """[B, *shape] demand draws mirroring generate_demand (host.py)."""
+        n = int(np.prod(shape))
+        if cfg.sen_peaks is None and cfg.std is None:
+            return self._randint(cfg.minv, cfg.maxv + 1, n).reshape((self.B,) + shape)
+        if cfg.sen_peaks is None:
+            data = self._normal((cfg.maxv + cfg.minv) / 2, cfg.std, n)
+            data = np.clip(data, cfg.minv, cfg.maxv)
+            return np.rint(data).astype(int).reshape((self.B,) + shape)
+        std = 0 if cfg.std is None else cfg.std
+        if cfg.perturb_norm:
+            perturb = self._normal(0, std, n).reshape((self.B,) + shape)
+        else:
+            perturb = self._randint(-3 * std, 3 * std + 1,
+                                    n).reshape((self.B,) + shape)
+        periods = np.arange(shape[0]).reshape((1, shape[0])
+                                              + (1,) * (len(shape) - 1))
+        half = (cfg.maxavg - cfg.minavg) / 2
+        base = cfg.minavg + half * (1 + np.sin(
+            cfg.sen_peaks * 2 * np.pi * periods / self.cc.T))
+        return np.rint(np.clip(base + perturb, cfg.minv, cfg.maxv)).astype(int)
+
+    def episode_tables(self):
+        """(demands [T+1, R, P, B], leadtimes [T, K, B] or None)."""
+        cc = self.cc
+        if not cc.demand_by_product:
+            d = self._demand(cc.demand[0], (cc.T + 1, cc.R, cc.P))
+        else:
+            cols = [self._demand(cc.demand[p], (cc.T + 1, cc.R))
+                    for p in range(cc.P)]
+            d = np.stack(cols, axis=-1)
+        demands = np.moveaxis(d, 0, -1)
+        leadtimes = None
+        if cc.stochastic_leadtimes:
+            lt = 1 + self._poisson(cc.Lavg - 1, cc.T * cc.K)
+            lt = np.clip(lt, 1, cc.Lmax).reshape(self.B, cc.T, cc.K)
+            leadtimes = np.moveaxis(lt, 0, -1)
         return demands, leadtimes
