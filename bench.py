@@ -30,7 +30,9 @@ def bench_supplychain(cc, B, steps, repeats=3):
             st = carry
             a = jax.random.uniform(k, (cc.A, B), minval=-1.0, maxval=1.0)
             st, out = step_fn(st, a)
-            return st, out.reward.sum()
+            # consume the observation so XLA cannot dead-code the obs path
+            # (a real rollout feeds obs to a policy every step)
+            return st, out.reward.sum() + out.obs.sum()
 
         ks = jax.random.split(key, steps)
         st, rews = jax.lax.scan(body, st, ks)
@@ -64,7 +66,7 @@ def bench_beergame(B, steps=35, repeats=3):
             st = carry
             a = jax.random.randint(k, (L, B), 0, 16)
             st, (obs, reward, done) = step_fn(st, a)
-            return st, reward.sum()
+            return st, reward.sum() + obs.sum()
 
         ks = jax.random.split(key, steps)
         st, rews = jax.lax.scan(body, st, ks)

@@ -201,20 +201,24 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         units = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
 
         # --- phase 1: arrivals (act :220-228) ----------------------------
-        arrived = state.pipe[0]
-        pipe = jnp.concatenate([state.pipe[1:], jnp.zeros_like(state.pipe[:1])], 0)
-        stock = state.stock + arrived
+        with jax.named_scope("arrivals"):
+            arrived = state.pipe[0]
+            pipe = jnp.concatenate([state.pipe[1:],
+                                    jnp.zeros_like(state.pipe[:1])], 0)
+            stock = state.stock + arrived
 
         # --- phase 2: stock-capacity overflow (act :232-240) -------------
-        excess = jnp.maximum(stock - stock_cap[:, :, None], 0.0)
-        excess = jnp.where(jnp.isfinite(stock_cap)[:, :, None], excess, 0.0)
-        costs["stock_pen"] = cc.c_stock_pen * excess.sum(0)
-        units["stock_pen"] = excess.sum(0)
-        stock = jnp.minimum(stock, stock_cap[:, :, None])
+        with jax.named_scope("stock_capacity"):
+            excess = jnp.maximum(stock - stock_cap[:, :, None], 0.0)
+            excess = jnp.where(jnp.isfinite(stock_cap)[:, :, None], excess, 0.0)
+            costs["stock_pen"] = cc.c_stock_pen * excess.sum(0)
+            units["stock_pen"] = excess.sum(0)
+            stock = jnp.minimum(stock, stock_cap[:, :, None])
 
         # --- phase 3: supply (act :244-259); amount and cost are computed
         # in the action dtype like the reference (f32 * int -> f32), then
         # promoted ---------------------------------------------------------
+        supply_scope = jax.named_scope("supply"); supply_scope.__enter__()
         sup_amt_raw = a_sup * supply_cap.astype(adt)[:, :, None]
         sup_amt = sup_amt_raw.astype(dtype)
         fired = has_supply[:, :, None] & (sup_amt > 0)
@@ -242,8 +246,10 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             contrib = jnp.where(fired & (lt_sup == L), sup_amt, 0.0)
             pipe = pipe.at[L - 1].add(contrib)
 
+        supply_scope.__exit__(None, None, None)
         # --- phase 4: ship (act :262-375); product loop carries shared
         # processing / per-destination ship capacities ---------------------
+        ship_scope = jax.named_scope("ship"); ship_scope.__enter__()
         avail_proc = jnp.broadcast_to(proc_cap[:, None], (N, B))
         avail_ship = jnp.broadcast_to(ship_cap_edge[:, :, None], (N, Dmax, B))
         new_stock_cols = []
@@ -346,6 +352,7 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
 
         stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
 
+        ship_scope.__exit__(None, None, None)
         # --- phase 5: retailer demand fulfillment (:378-387) --------------
         dem_row = jax.lax.dynamic_index_in_dim(state.demands, t - 1, 0,
                                                keepdims=False)       # [R,P,B]

@@ -76,9 +76,12 @@ def main(argv=None):
     with trace(args.trace_dir):
         for it in range(args.iters):
             state, metrics = step_jit(state)
-            if (it + 1) % args.log_every == 0:
+            if it == 0:
                 jax.block_until_ready(metrics)
-                sps = meter.update(args.log_every) if it else meter.update(1)
+                meter.reset()          # exclude compile time from steps/s
+            elif (it + 1) % args.log_every == 0:
+                jax.block_until_ready(metrics)
+                sps = meter.update(args.log_every)
                 log_metrics(it + 1, {**metrics, "env_steps_per_s": sps})
     jax.block_until_ready(state.params)
     if args.checkpoint_dir:
