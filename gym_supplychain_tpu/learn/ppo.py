@@ -36,9 +36,13 @@ class PPOConfig(NamedTuple):
     lam: float = 0.95
     clip: float = 0.2
     lr: float = 3e-4
-    ent_coef: float = 0.0
+    ent_coef: float = 1e-3
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
+    # L2 penalty on pre-tanh action means: keeps the squashed policy off the
+    # tanh saturation rails where gradients vanish (the supply-chain optimum
+    # near "order nothing" otherwise collapses the policy to a corner)
+    pre_tanh_reg: float = 1e-3
     hidden: Tuple[int, ...] = (128, 128)
 
 
@@ -126,8 +130,11 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
         pg = -jnp.minimum(ratio * advf,
                           jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * advf).mean()
         vf = 0.5 * ((value - ret.reshape(-1)) ** 2).mean()
-        ent = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).sum()
-        return pg + cfg.vf_coef * vf - cfg.ent_coef * ent, (pg, vf)
+        # entropy of the squashed policy estimated as -E[log pi(a|s)]
+        ent = -logp.mean()
+        reg = (mu ** 2).mean()
+        return (pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+                + cfg.pre_tanh_reg * reg), (pg, vf)
 
     def train_step(state: TrainState):
         key, kr = jax.random.split(state.key)

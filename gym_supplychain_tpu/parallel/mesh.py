@@ -16,7 +16,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["init_distributed", "make_mesh", "batch_sharding",
+__all__ = ["init_distributed", "make_mesh", "trailing_sharding",
            "shard_vec_state", "replicated"]
 
 
@@ -47,11 +47,6 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
         data = n // model
     assert data * model == n, f"{data}x{model} != {n} devices"
     return Mesh(devices.reshape(data, model), ("data", "model"))
-
-
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for a batch-trailing array: last axis split over 'data'."""
-    return NamedSharding(mesh, P())  # placeholder; use trailing_sharding
 
 
 def trailing_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -104,6 +104,29 @@ def test_multiproduct_trajectory_constant_leadtimes():
              seed=1, episodes=2)
 
 
+def test_partial_supply_products_trajectory():
+    """Edge case: a supplier with capacity for only SOME products.  The
+    lead-time table still allocates num_products columns for the node
+    (supplychain_env.py:601-604) while the per-step slice consumes
+    num_supply_actions + dests (:719-722) — the action/lead-time index maps
+    must reproduce this asymmetry exactly."""
+    envs = _load_reference()
+    from gym_supplychain_tpu import SupplyChainEnv
+    nodes = {
+        'Sup': {'initial_stock': [5, 5], 'stock_capacity': [50, 50],
+                'stock_cost': [1, 1], 'supply_capacity': [30, 0],
+                'supply_cost': [2, 0], 'destinations': ['Ret'],
+                'dest_costs': [[1], [1]], 'ship_capacity': [40]},
+        'Ret': {'initial_stock': [5, 5], 'stock_capacity': [50, 50],
+                'stock_cost': [1, 1], 'last_level': True},
+    }
+    kw = dict(num_products=2, demand_range=(0, 8), stochastic_leadtimes=True,
+              avg_leadtime=2, max_leadtime=4, total_time_steps=30)
+    ref = envs.SupplyChainEnv(dict(nodes), **kw)
+    tpu = SupplyChainEnv(dict(nodes), strict_obs=True, **kw)
+    _compare(ref, tpu, seed=2, episodes=2)
+
+
 def test_heap_quirk_manifests():
     """Documents that the quirk is real: dense obs and strict obs must agree
     on dynamics but are allowed to diverge on observations under stochastic
