@@ -16,12 +16,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_supplychain(cc, B, steps, repeats=3):
+def bench_supplychain(cc, B, steps, repeats=5, episodes=8):
+    """Continuous rollout: ``episodes`` back-to-back auto-reset episodes per
+    jitted call, amortizing the fixed per-dispatch latency exactly as a real
+    training loop does (PPO collects many steps per dispatch)."""
     import jax
     import jax.numpy as jnp
     from gym_supplychain_tpu.envs.vector import make_vec_env
 
     init_fn, step_fn, obs_fn = make_vec_env(cc, B)
+    steps = steps * episodes
 
     def rollout(key):
         st = init_fn(key)
@@ -48,16 +52,20 @@ def bench_supplychain(cc, B, steps, repeats=3):
     return B * steps / best
 
 
-def bench_beergame(B, steps=35, repeats=3):
+def bench_beergame(B, weeks=35, repeats=5, episodes=80):
+    """Continuous rollout with auto-reset: ``episodes`` back-to-back
+    35-week episodes per jitted call (episodes are short, so the fixed
+    dispatch latency would otherwise dominate entirely)."""
     import jax
     import jax.numpy as jnp
     from gym_supplychain_tpu.core.beergame import make_beergame_kernels
 
-    L, weeks = 4, steps
+    L = 4
     reset_fn, step_fn, obs_fn = make_beergame_kernels(
         L, weeks, 2, itype=jnp.int32)
     demand = np.array([4] * 4 + [8] * (weeks - 4), np.int32)
     delays = np.full(weeks + 1, 2, np.int32)
+    steps = weeks * episodes
 
     def rollout(key):
         st = reset_fn(demand, delays, [12] * L, 4, 4, B)
@@ -66,6 +74,9 @@ def bench_beergame(B, steps=35, repeats=3):
             st = carry
             a = jax.random.randint(k, (L, B), 0, 16)
             st, (obs, reward, done) = step_fn(st, a)
+            st = jax.lax.cond(
+                done, lambda _: reset_fn(demand, delays, [12] * L, 4, 4, B),
+                lambda _: st, None)
             return st, reward.sum() + obs.sum()
 
         ks = jax.random.split(key, steps)

@@ -1,10 +1,15 @@
 """Batched MIT Beer Game kernels (v0 and v2).
 
 The reference beer game (beergame_env.py:6-181, beergame2_env.py:5-211)
-already stores shipments densely as ``shipments[time, level]`` — exactly the
-layout our supply-chain engine derives.  Here the per-week update becomes a
-batched array op over ``[levels, B]`` state with the batch as the trailing
-(TPU lane) axis; the whole episode runs under one ``lax.scan``.
+stores shipments densely as ``shipments[time, level]`` over the whole
+episode.  Here the per-week update becomes a batched array op over
+``[levels, B]`` state with the batch as the trailing (TPU lane) axis, and the
+shipment pipeline collapses to a **ring buffer** ``[max_delay+1, levels, B]``
+indexed by ``week % R``: a shipment placed with delay d in 1..max_delay lands
+at slot ``(week+d) % R``, which never collides with the current week's slot,
+so arrival semantics are identical to the episode-length buffer while the
+per-step state traffic shrinks from O(weeks) to O(max_delay) — this is what
+keeps the whole scan body VMEM-resident.
 
 Semantics reproduced exactly (integer arithmetic like upstream):
 
@@ -36,7 +41,7 @@ class BeerGameState(NamedTuple):
     backlog: jnp.ndarray         # [L, B] int
     orders_placed: jnp.ndarray   # [L, B] int
     incoming_orders: jnp.ndarray  # [L, B] int
-    shipments: jnp.ndarray       # [W, L, B] int
+    shipments: jnp.ndarray       # [R, L, B] int ring buffer, slot = week % R
     customer_demand: jnp.ndarray  # [max_weeks, B] int
     shipment_delays: jnp.ndarray  # [max_weeks + 1, B] int
     inventory_costs: jnp.ndarray  # [L, B]
@@ -50,11 +55,12 @@ def make_beergame_kernels(levels: int, max_weeks: int, max_delay: int,
                           v2: bool = False, itype=jnp.int64):
     """Build (reset_fn, step_fn) for a beer game family.
 
-    ``max_delay`` bounds the shipment-delay values so the dense shipment
-    buffer can be sized statically: W = max_weeks + max_delay + 2.
+    ``max_delay`` bounds every shipment-delay value (including the prepended
+    initial delay in slot 0 of the delays table) and statically sizes the
+    ring buffer: R = max_delay + 1.
     """
     L = levels
-    W = max_weeks + max_delay + 2
+    R = max_delay + 1
 
     def reset_fn(customer_demand, shipment_delays, initial_inventory,
                  initial_shipment_value, initial_orders_value, B: int):
@@ -73,13 +79,14 @@ def make_beergame_kernels(levels: int, max_weeks: int, max_delay: int,
         inv0 = jnp.broadcast_to(jnp.asarray(initial_inventory, itype)[:, None],
                                 (L, B))
         # shipments[1 : 1 + delays[0]] = initial_shipment_value
-        # (beergame_env.py:50-52)
-        widx = jnp.arange(W, dtype=itype)[:, None]                  # [W,1]
-        seeded = ((widx >= 1) & (widx <= delays[0][None, :]))       # [W,B]
+        # (beergame_env.py:50-52); weeks 1..delays[0] <= max_delay map to
+        # distinct ring slots 1..delays[0]
+        ridx = jnp.arange(R, dtype=itype)[:, None]                  # [R,1]
+        seeded = ((ridx >= 1) & (ridx <= delays[0][None, :]))       # [R,B]
         ship0 = jnp.where(seeded[:, None, :],
                           jnp.asarray(initial_shipment_value, itype),
                           jnp.zeros((), itype))
-        ship0 = jnp.broadcast_to(ship0, (W, L, B))
+        ship0 = jnp.broadcast_to(ship0, (R, L, B))
         orders0 = jnp.full((L, B), initial_orders_value, itype)
         return BeerGameState(
             week=jnp.zeros((), jnp.int32),
@@ -105,9 +112,11 @@ def make_beergame_kernels(levels: int, max_weeks: int, max_delay: int,
         action = jnp.asarray(action, itype)
         week = state.week + 1
 
-        # 1. receive scheduled shipments
+        # 1. receive scheduled shipments (ring slot week % R, cleared below
+        # so the slot can be reused for week + R)
+        slot = jnp.asarray(week % R, itype)
         inventory = state.inventory + jax.lax.dynamic_index_in_dim(
-            state.shipments, week, 0, keepdims=False)
+            state.shipments, slot, 0, keepdims=False)
 
         # 2. fill orders (incoming + backlog, capped by inventory)
         demand_row = jax.lax.dynamic_index_in_dim(
@@ -125,17 +134,20 @@ def make_beergame_kernels(levels: int, max_weeks: int, max_delay: int,
         # scheduled otherwise (both computed, selected per batch lane)
         downstream = jnp.concatenate(
             [to_deliver[1:], jnp.zeros((1, to_deliver.shape[-1]), itype)], 0)
-        # scheduled path: shipments[week + delay, :-1] += to_deliver[1:]
-        widx = jnp.arange(W, dtype=itype)[:, None]                  # [W,1]
-        sched_mask = (widx == (week + delay)[None, :])              # [W,B]
+        # scheduled path: ring[(week + delay) % R, :-1] += to_deliver[1:];
+        # delay in 1..max_delay never collides with the current slot
+        ridx = jnp.arange(R, dtype=itype)[:, None]                  # [R,1]
+        sched_mask = (ridx == ((week + delay) % R)[None, :])        # [R,B]
         sched_add = jnp.where((~zero_delay) & sched_mask[:, None, :],
                               downstream[None, :, :], 0)
-        # factory self-supply: shipments[week + delay, -1] += orders_placed[-1]
+        # factory self-supply: ring[(week + delay) % R, -1] += orders_placed[-1]
         factory_add = jnp.where((~zero_delay) & sched_mask[:, None, :],
                                 jnp.concatenate(
                                     [jnp.zeros((L - 1, to_deliver.shape[-1]), itype),
                                      state.orders_placed[-1:]], 0)[None, :, :], 0)
-        shipments = state.shipments + sched_add + factory_add
+        # clear the consumed slot, then scatter this week's shipments
+        shipments = (jnp.where(ridx[:, None, :] == slot, 0, state.shipments)
+                     + sched_add + factory_add)
 
         inv_immediate = jnp.where(zero_delay[None, :], downstream, 0)
         factory_immediate = jnp.concatenate(
