@@ -11,7 +11,9 @@ Environment ids cover every reference registration
 """
 from .core.compile import CompiledChain, DemandConfig, compile_chain
 from .core.step import COST_KEYS, EnvState, StepOutput, make_supplychain_kernels
+from .envs.beergame import BeerGameEnv, BeerGameEnv2
 from .envs.single import SupplyChainEnv
+from .rng.host import generate_demand
 from .envs.presets import (
     SupplyChain2perStageEnv, SupplyChain2perStageSeasonalEnv,
     SupplyChainMultiProduct, SupplyChainMultiProduct_IncreasingCosts,
@@ -61,6 +63,7 @@ __version__ = "0.1.0"
 __all__ = [
     "make", "registry", "compile_chain", "CompiledChain", "DemandConfig",
     "EnvState", "StepOutput", "COST_KEYS", "make_supplychain_kernels",
+    "BeerGameEnv", "BeerGameEnv2", "generate_demand",
     "SupplyChainEnv", "SupplyChain2perStageEnv", "SupplyChain2perStageSeasonalEnv",
     "SupplyChainMultiProduct", "SupplyChainMultiProduct_IncreasingCosts",
     "SupplyChainMultiProduct_DemConfigByProd",

@@ -56,8 +56,19 @@ def senoidal_data(rs: np.random.RandomState, horizon, shape, minv, maxv, std,
 
 
 def generate_demand(rs: np.random.RandomState, shape, horizon: int,
-                    cfg: DemandConfig):
-    """Dispatch mirroring ``generate_demand`` (demands_generator.py:3-31)."""
+                    cfg=None, maxv=None, std=None, sen_peaks=None,
+                    minavg=None, maxavg=None, perturb_norm=True):
+    """Dispatch mirroring ``generate_demand`` (demands_generator.py:3-31).
+
+    Drop-in for the reference surface — accepts either a ``DemandConfig`` in
+    the 4th position or the reference's flat ``(minv, maxv, std, sen_peaks,
+    minavg, maxavg, perturb_norm)`` arguments; ``shape`` is the full output
+    shape exactly as upstream's ``dem_shape``.
+    """
+    if not isinstance(cfg, DemandConfig):
+        cfg = DemandConfig(minv=cfg, maxv=maxv, std=std, sen_peaks=sen_peaks,
+                           minavg=minavg, maxavg=maxavg,
+                           perturb_norm=perturb_norm)
     if cfg.sen_peaks is None:
         if cfg.std is None:
             return uniform_data(rs, shape, cfg.minv, cfg.maxv)

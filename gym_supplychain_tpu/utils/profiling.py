@@ -49,8 +49,10 @@ class Throughput:
         self.steps = 0
 
 
-def log_metrics(step: int, metrics: dict, stream=sys.stdout):
+def log_metrics(step: int, metrics: dict, stream=None):
     """One JSONL metrics line per call."""
+    if stream is None:
+        stream = sys.stdout      # late-bound: respects redirection/capture
     row = {"step": step}
     for k, v in metrics.items():
         try:
