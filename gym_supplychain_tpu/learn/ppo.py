@@ -23,10 +23,12 @@ import optax
 
 from ..core.compile import CompiledChain
 from ..envs.vector import VecState, make_vec_env
-from ..models.policy import (MLPConfig, actor_critic_forward, init_actor_critic,
+from ..models.policy import (MLPConfig, actor_critic_forward,
+                             categorical_logp_entropy, discrete_forward,
+                             init_actor_critic, init_discrete_actor_critic,
                              sample_tanh_gaussian, tanh_gaussian_logp)
 
-__all__ = ["PPOConfig", "TrainState", "make_ppo"]
+__all__ = ["PPOConfig", "TrainState", "make_ppo", "make_beergame_ppo"]
 
 
 class PPOConfig(NamedTuple):
@@ -135,6 +137,122 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
         reg = (mu ** 2).mean()
         return (pg + cfg.vf_coef * vf - cfg.ent_coef * ent
                 + cfg.pre_tanh_reg * reg), (pg, vf)
+
+    def train_step(state: TrainState):
+        key, kr = jax.random.split(state.key)
+        env_state, traj, last_value = _rollout(state.params, state.env, kr)
+        adv, ret = _gae(traj, last_value)
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
+                params, traj, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (state.params, state.opt_state), None, length=cfg.epochs)
+        metrics = {"loss": losses[-1],
+                   "mean_reward": traj.reward.mean() / reward_scale,
+                   "mean_value": traj.value.mean()}
+        return TrainState(params=params, opt_state=opt_state, env=env_state,
+                          key=key), metrics
+
+    return init_fn, train_step
+
+
+def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
+                      levels: int = 4, weeks: int = 35, max_order: int = 16,
+                      customer_demand=None, shipment_delays: int = 2,
+                      initial_inventory: int = 12, v2: bool = False,
+                      max_stock: int = 100, exceeded_capacity_penalty: int = 100,
+                      dtype=jnp.float32, reward_scale: float = 1e-2):
+    """PPO for the beer game's MultiDiscrete action space (SURVEY.md §7.5):
+    one categorical head per chain level over ``max_order`` order quantities.
+
+    The rollout runs continuous auto-reset episodes of the batched beer game
+    kernel.  ``init_fn(key) -> TrainState``; ``train_step`` as in
+    :func:`make_ppo`."""
+    import numpy as np
+
+    from ..core.beergame import make_beergame_kernels
+
+    B = batch_size
+    demand = np.asarray(customer_demand if customer_demand is not None
+                        else [4] * 4 + [8] * (weeks - 4), np.int32)
+    delays = np.full(weeks + 1, shipment_delays, np.int32)
+    delays[0] = 2
+    inv0 = np.full(levels, initial_inventory, np.int32)
+    reset_k, step_k, obs_k = make_beergame_kernels(
+        levels, weeks, int(delays.max()), v2=v2, max_stock=max_stock,
+        exceeded_capacity_penalty=exceeded_capacity_penalty, itype=jnp.int32)
+    obs_scale = 1.0 / (4.0 * float(demand.max()))     # keep obs O(1)
+    mcfg = MLPConfig(obs_dim=levels, act_dim=levels, hidden=cfg.hidden)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr))
+
+    def _fresh():
+        return reset_k(demand, delays, inv0, 4, 4, B)
+
+    def _obs(st):
+        return obs_k(st).astype(dtype) * obs_scale
+
+    def init_fn(key) -> TrainState:
+        kp, kk = jax.random.split(key)
+        params = init_discrete_actor_critic(kp, mcfg, max_order, dtype)
+        return TrainState(params=params, opt_state=tx.init(params),
+                          env=_fresh(), key=kk)
+
+    def _rollout(params, env_state, key):
+        obs0 = _obs(env_state)
+
+        def body(carry, k):
+            env_state, obs = carry
+            logits, value = discrete_forward(params, obs, levels, max_order)
+            act = jax.random.categorical(k, logits.transpose(0, 2, 1),
+                                         axis=-1)            # [L, B]
+            logp, _ = categorical_logp_entropy(logits, act)
+            env_state, (next_obs, reward, done) = step_k(env_state, act)
+            env_state = jax.lax.cond(done, lambda _: _fresh(),
+                                     lambda _: env_state, None)
+            traj = Trajectory(obs=obs, act_pre=act, logp=logp,
+                              reward=reward.astype(dtype) * reward_scale,
+                              value=value, done=done)
+            return (env_state, _obs(env_state)), traj
+
+        keys = jax.random.split(key, cfg.rollout_steps)
+        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys)
+        _, last_value = discrete_forward(params, last_obs, levels, max_order)
+        return env_state, traj, last_value
+
+    def _gae(traj: Trajectory, last_value):
+        def body(carry, xs):
+            gae, next_value = carry
+            reward, value, done = xs
+            nonterm = jnp.where(done, 0.0, 1.0)
+            delta = reward + cfg.gamma * next_value * nonterm - value
+            gae = delta + cfg.gamma * cfg.lam * nonterm * gae
+            return (gae, value), gae
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (traj.reward, traj.value, traj.done), reverse=True)
+        return adv, adv + traj.value
+
+    def _loss(params, traj: Trajectory, adv, ret):
+        obs = traj.obs.transpose(1, 0, 2).reshape(levels, -1)
+        act = traj.act_pre.transpose(1, 0, 2).reshape(levels, -1)
+        logits, value = discrete_forward(params, obs, levels, max_order)
+        logp, ent = categorical_logp_entropy(logits, act)
+        old_logp = traj.logp.reshape(-1)
+        advf = adv.reshape(-1)
+        advf = (advf - advf.mean()) / (advf.std() + 1e-8)
+        ratio = jnp.exp(logp - old_logp)
+        pg = -jnp.minimum(ratio * advf,
+                          jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * advf).mean()
+        vf = 0.5 * ((value - ret.reshape(-1)) ** 2).mean()
+        return pg + cfg.vf_coef * vf - cfg.ent_coef * ent.mean(), (pg, vf)
 
     def train_step(state: TrainState):
         key, kr = jax.random.split(state.key)

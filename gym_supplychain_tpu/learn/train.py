@@ -42,7 +42,8 @@ def main(argv=None):
         jax.distributed.initialize()
 
     import gym_supplychain_tpu as sct
-    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+    from gym_supplychain_tpu.learn.ppo import (PPOConfig, make_beergame_ppo,
+                                               make_ppo)
     from gym_supplychain_tpu.models.policy import param_shardings
     from gym_supplychain_tpu.parallel.mesh import (make_mesh, replicated,
                                                    shard_vec_state)
@@ -51,10 +52,14 @@ def main(argv=None):
     from gym_supplychain_tpu.utils.profiling import (Throughput, log_metrics,
                                                      trace)
 
-    cc = sct.make(args.env, total_time_steps=args.horizon).cc
     cfg = PPOConfig(rollout_steps=args.rollout_steps, epochs=args.epochs,
                     lr=args.lr, hidden=tuple(args.hidden))
-    init_fn, train_step = make_ppo(cc, args.envs, cfg)
+    if args.env.startswith("beergame"):
+        init_fn, train_step = make_beergame_ppo(
+            args.envs, cfg, v2=args.env.endswith("v2"))
+    else:
+        cc = sct.make(args.env, total_time_steps=args.horizon).cc
+        init_fn, train_step = make_ppo(cc, args.envs, cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))
 
     n_dev = len(jax.devices())

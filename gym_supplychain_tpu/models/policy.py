@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["MLPConfig", "init_actor_critic", "actor_critic_forward",
-           "sample_tanh_gaussian", "tanh_gaussian_logp", "param_shardings"]
+           "sample_tanh_gaussian", "tanh_gaussian_logp", "param_shardings",
+           "init_discrete_actor_critic", "discrete_forward",
+           "categorical_logp_entropy"]
 
 LOG_STD_MIN, LOG_STD_MAX = -5.0, 2.0
 
@@ -84,6 +86,45 @@ def tanh_gaussian_logp(pre_tanh, mu, log_std):
     return (g - corr).sum(axis=0)
 
 
+def init_discrete_actor_critic(key, cfg: MLPConfig, n_choices: int,
+                               dtype=jnp.float32) -> Dict[str, Any]:
+    """Actor-critic for a MultiDiscrete action space (the beer game's order
+    quantities, reference beergame2_env.py:27): ``cfg.act_dim`` independent
+    categoricals with ``n_choices`` options each, sharing the obs trunk."""
+    params = init_actor_critic(key, cfg, dtype)
+    del params["mu"], params["log_std"]
+    n_in = cfg.hidden[-1] if cfg.hidden else cfg.obs_dim
+    klog = jax.random.fold_in(key, 7)
+    w = jax.random.normal(klog, (cfg.act_dim * n_choices, n_in), dtype)
+    params["logits"] = {"w": w * 0.01 / np.sqrt(n_in),
+                        "b": jnp.zeros((cfg.act_dim * n_choices, 1), dtype)}
+    return params
+
+
+def discrete_forward(params, obs, act_dim: int, n_choices: int):
+    """obs[obs_dim, B] -> (logits[act_dim, n_choices, B], value[B])."""
+    a = obs
+    c = obs
+    for layer in params["actor"]:
+        a = jnp.tanh(layer["w"] @ a + layer["b"])
+    for layer in params["critic"]:
+        c = jnp.tanh(layer["w"] @ c + layer["b"])
+    logits = params["logits"]["w"] @ a + params["logits"]["b"]
+    v = (params["v"]["w"] @ c + params["v"]["b"])[0]
+    return logits.reshape(act_dim, n_choices, -1), v
+
+
+def categorical_logp_entropy(logits, act):
+    """logits[A, n, B], act[A, B] int -> (logp[B], entropy[B]).
+
+    Log-prob summed over the independent action dims; entropy is the sum of
+    the per-dim categorical entropies (exact, not a sample estimate)."""
+    logp_all = jax.nn.log_softmax(logits, axis=1)          # [A, n, B]
+    logp_act = jnp.take_along_axis(logp_all, act[:, None, :], axis=1)[:, 0]
+    ent = -(jnp.exp(logp_all) * logp_all).sum(axis=1)      # [A, B]
+    return logp_act.sum(axis=0), ent.sum(axis=0)
+
+
 def param_shardings(params, mesh, hidden_axis: Optional[str] = "model"):
     """NamedSharding tree: replicate everything except the hidden dims of the
     trunk layers, which shard over ``hidden_axis`` when the mesh has it
@@ -103,7 +144,9 @@ def param_shardings(params, mesh, hidden_axis: Optional[str] = "model"):
         for layer in params[branch]:
             out[branch].append({"w": shard_hidden(2), "b": shard_hidden(2)})
     # heads contract over the (sharded) hidden axis -> replicate outputs
-    out["mu"] = {"w": repl(), "b": repl()}
-    out["v"] = {"w": repl(), "b": repl()}
-    out["log_std"] = repl()
+    for head in ("mu", "v", "logits"):
+        if head in params:
+            out[head] = {"w": repl(), "b": repl()}
+    if "log_std" in params:
+        out["log_std"] = repl()
     return out

@@ -127,6 +127,43 @@ def test_partial_supply_products_trajectory():
     _compare(ref, tpu, seed=2, episodes=2)
 
 
+def test_seasonal_2perstage_stochastic_leadtimes_trajectory():
+    """Seasonal chain dynamics WITH lead-times — explicitly flagged untested
+    in the reference itself (test_supplychain_2perstage_env.py:4)."""
+    envs = _load_reference()
+    from gym_supplychain_tpu import SupplyChain2perStageSeasonalEnv
+    kw = dict(stochastic_leadtimes=True, avg_leadtime=2, max_leadtime=4,
+              total_time_steps=40)
+    ref = envs.SupplyChain2perStageSeasonalEnv(**kw)
+    tpu = SupplyChain2perStageSeasonalEnv(strict_obs=True, **kw)
+    _compare(ref, tpu, seed=4, episodes=2)
+
+
+def test_demconfigbyprod_trajectory():
+    """Per-product demand configs — flagged untested upstream
+    (test_multiproduct_2perstage.py:6).  Exercises the different MT19937
+    stream-consumption order (one (T+1, R) draw per product,
+    supplychain_env.py:650-661)."""
+    envs = _load_reference()
+    from gym_supplychain_tpu import SupplyChainMultiProduct_DemConfigByProd
+    kw = dict(num_products=3, total_time_steps=40)
+    ref = envs.SupplyChainMultiProduct_DemConfigByProd(**kw)
+    tpu = SupplyChainMultiProduct_DemConfigByProd(strict_obs=True, **kw)
+    _compare(ref, tpu, seed=5, episodes=2)
+
+
+def test_nperstage_trajectory():
+    """Asymmetric N-per-stage topology [3,2,3,5] — reference only smoke-tests
+    these (test_Nperstage.py:6)."""
+    envs = _load_reference()
+    from gym_supplychain_tpu import SupplyChainNPerStage
+    kw = dict(nodes_per_echelon=[3, 2, 3, 5], total_time_steps=30,
+              stochastic_leadtimes=True, avg_leadtime=2, max_leadtime=4)
+    ref = envs.SupplyChainNPerStage(**kw)
+    tpu = SupplyChainNPerStage(strict_obs=True, **kw)
+    _compare(ref, tpu, seed=6, episodes=2)
+
+
 def test_heap_quirk_manifests():
     """Documents that the quirk is real: dense obs and strict obs must agree
     on dynamics but are allowed to diverge on observations under stochastic

@@ -147,3 +147,22 @@ def test_sharded_matches_single_device():
     st_sharded = shard_vec_state(mesh, init_fn(key))
     r_sharded = float(jax.jit(total)(st_sharded, key))
     assert np.allclose(r_single, r_sharded)
+
+
+def test_beergame_ppo_learns():
+    """Learning canary: categorical PPO on the beer game must improve the
+    mean per-step reward substantially over random ordering (the
+    MultiDiscrete head of SURVEY.md §7.5)."""
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_beergame_ppo
+
+    init_fn, train_step = make_beergame_ppo(
+        128, PPOConfig(rollout_steps=36, hidden=(64,), lr=5e-3, epochs=4,
+                       ent_coef=5e-3))
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    early, late = [], []
+    for it in range(50):
+        state, m = step(state)
+        (early if it < 10 else late).append(float(m["mean_reward"]))
+    assert np.mean(late[-10:]) > np.mean(early) + 60.0, (
+        f"no learning: early={np.mean(early):.1f} late={np.mean(late[-10:]):.1f}")
