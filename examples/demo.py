@@ -2,10 +2,14 @@
 reimagined): single-env episode with render, a batched rollout, and a short
 PPO training burst.
 
-Run:  PYTHONPATH=. python examples/demo.py  [--batch 1024]
+Run:  python examples/demo.py  [--batch 1024]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,0 +1,80 @@
+"""Deterministic policy evaluation (the serving path of the learner layer).
+
+Runs greedy (mode-action) rollouts of a trained policy over the batched env
+under one jitted ``lax.scan`` and reports per-episode return statistics.
+Pairs with ``utils/checkpoint.py`` for evaluating saved training runs:
+
+    python -m gym_supplychain_tpu.learn.evaluate --restore ckpt/step_100 \
+        --env supplychain-ntom-v0 --envs 1024 --episodes 4
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.compile import CompiledChain
+from ..envs.vector import make_vec_env
+from ..models.policy import actor_critic_forward
+
+__all__ = ["make_evaluator", "main"]
+
+
+def make_evaluator(cc: CompiledChain, batch_size: int, dtype=jnp.float32):
+    """Returns ``evaluate(params, key, episodes) -> {mean, std, min, max}``
+    of the per-env accumulated return under the greedy (tanh(mu)) policy."""
+    B = batch_size
+    env_init, env_step, env_obs = make_vec_env(cc, B, dtype)
+
+    def evaluate(params, key, episodes: int = 1):
+        steps = cc.T * episodes
+
+        def body(carry, _):
+            env_state, obs = carry
+            mu, _, _ = actor_critic_forward(params, obs)
+            env_state, out = env_step(env_state, jnp.tanh(mu))
+            return (env_state, out.obs), out.reward
+
+        st = env_init(key)
+        (_, _), rewards = jax.lax.scan(body, (st, env_obs(st)), None,
+                                       length=steps)
+        per_env = rewards.reshape(episodes, cc.T, B).sum(axis=1)  # [ep, B]
+        return {"mean_return": per_env.mean(),
+                "std_return": per_env.std(),
+                "min_return": per_env.min(),
+                "max_return": per_env.max()}
+
+    return evaluate
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--env", default="supplychain-ntom-v0")
+    p.add_argument("--envs", type=int, default=1024)
+    p.add_argument("--episodes", type=int, default=4)
+    p.add_argument("--horizon", type=int, default=360)
+    p.add_argument("--restore", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.utils.checkpoint import restore_checkpoint
+
+    cc = sct.make(args.env, total_time_steps=args.horizon).cc
+    state = restore_checkpoint(args.restore)
+    params = state.params if hasattr(state, "params") else state["params"] \
+        if isinstance(state, dict) and "params" in state else state
+    # pickle fallback restores a plain tuple (TrainState fields in order)
+    if isinstance(params, (tuple, list)) and isinstance(params[0], dict):
+        params = params[0]
+    evaluate = jax.jit(make_evaluator(cc, args.envs),
+                       static_argnames="episodes")
+    stats = evaluate(params, jax.random.PRNGKey(args.seed), args.episodes)
+    print({k: float(v) for k, v in stats.items()})
+
+
+if __name__ == "__main__":
+    main()

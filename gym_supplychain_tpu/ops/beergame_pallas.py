@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: whole-episode beer game rollout in one kernel launch.
+
+The ``lax.scan`` path (core/beergame.py) executes one XLA While iteration per
+week; this kernel instead runs the **entire episode** as a static
+``fori_loop`` inside a single Pallas program, with every state buffer —
+inventory, backlog, order slips, the shipment ring — living in VMEM scratch
+for the full episode.  Same semantics as the scan kernel (reference
+beergame_env.py:66-138): receive -> fill -> record -> place orders -> reward.
+
+Layout: the env batch is the trailing (128-wide lane) axis everywhere; the
+``levels`` axis sits on sublanes.  All integer arithmetic in int32, matching
+``make_beergame_kernels(itype=jnp.int32)`` bit-for-bit (verified by
+tests/test_pallas_ops.py).
+
+Scope notes (honest engineering tradeoff, measured in benchmarks/pallas_vs
+_xla.py): the scan body is already fully fused by XLA, so this kernel wins
+only the per-iteration While overhead; it exists as the maintained pattern
+for episode-granular fusion (actions precomputed, e.g. replay/evaluation
+sweeps), not as the default path.  v0 semantics, uniform scalar delay table
+(the common benchmark configuration); the general per-lane stochastic-delay
+case stays on the scan path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["beergame_episode_pallas"]
+
+
+def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
+                    inv_ref, back_ref, orders_ref, ring_ref, *,
+                    weeks: int, levels: int, delay: int, ring: int,
+                    init_ship: int, init_orders: int,
+                    inv_cost: int, backlog_cost: int):
+    L = levels
+
+    # episode-initial state (beergame_env.py:46-52, :140-156)
+    inv_ref[:] = inv0_ref[:]
+    back_ref[:] = jnp.zeros_like(back_ref)
+    orders_ref[:] = jnp.full_like(orders_ref, init_orders)
+    # ring slots 1..delay hold the initial in-transit value
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, ring_ref.shape, 0)
+    ring_ref[:] = jnp.where((slot_ids >= 1) & (slot_ids <= delay),
+                            jnp.int32(init_ship), jnp.int32(0))
+
+    def week_body(w, _):
+        week = w + 1
+        slot = week % ring
+        # 1. receive scheduled shipments; clear the consumed slot
+        inventory = inv_ref[:] + ring_ref[slot]
+        ring_ref[slot] = jnp.zeros((L, ring_ref.shape[-1]), jnp.int32)
+
+        # 2. fill orders (incoming = [customer demand, upstream's orders])
+        demand_row = demand_ref[w]                          # [B]
+        placed = orders_ref[:]
+        incoming = jnp.concatenate([demand_row[None, :], placed[:-1]], axis=0)
+        orders_to_fill = incoming + back_ref[:]
+        to_deliver = jnp.minimum(inventory, orders_to_fill)
+
+        # 3. schedule deliveries downstream + factory self-supply at w+delay
+        downstream = jnp.concatenate(
+            [to_deliver[1:], placed[-1:]], axis=0)          # [L, B]
+        wslot = (week + delay) % ring
+        ring_ref[wslot] = ring_ref[wslot] + downstream
+
+        # 4. record inventory / backlog
+        inventory = inventory - to_deliver
+        backlog = orders_to_fill - to_deliver
+        inv_ref[:] = inventory
+        back_ref[:] = backlog
+
+        # 5. place orders = incoming + action (v0, beergame_env.py:121)
+        orders_ref[:] = incoming + action_ref[w]
+
+        # 6. reward
+        reward_ref[w] = -jnp.sum(
+            inv_cost * inventory + backlog_cost * backlog, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, weeks, week_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("delay", "init_ship",
+                                             "init_orders", "inv_cost",
+                                             "backlog_cost", "interpret"))
+def beergame_episode_pallas(demand, actions, initial_inventory,
+                            delay: int = 2, init_ship: int = 4,
+                            init_orders: int = 4, inv_cost: int = 1,
+                            backlog_cost: int = 2, interpret: bool = False):
+    """Run one full beer game episode on-chip.
+
+    ``demand[W, B]`` int32, ``actions[W, L, B]`` int32,
+    ``initial_inventory[L, B]`` int32 -> per-week rewards ``[W, B]`` int32.
+    """
+    W, L, B = actions.shape
+    ring = delay + 1
+    kernel = functools.partial(
+        _episode_kernel, weeks=W, levels=L, delay=delay, ring=ring,
+        init_ship=init_ship, init_orders=init_orders,
+        inv_cost=inv_cost, backlog_cost=backlog_cost)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((W, B), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((L, B), jnp.int32),        # inventory
+            pltpu.VMEM((L, B), jnp.int32),        # backlog
+            pltpu.VMEM((L, B), jnp.int32),        # orders placed
+            pltpu.VMEM((ring, L, B), jnp.int32),  # shipment ring
+        ],
+        interpret=interpret,
+    )(demand.astype(jnp.int32), actions.astype(jnp.int32),
+      initial_inventory.astype(jnp.int32))

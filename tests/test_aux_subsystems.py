@@ -68,3 +68,20 @@ def test_generate_demand_public_api():
     s = generate_demand(rs3, (11, 2), 10, 0, 400, std=5, sen_peaks=4,
                         minavg=150, maxavg=250)
     assert s.shape == (11, 2) and (s >= 0).all() and (s <= 400).all()
+
+
+def test_train_checkpoint_evaluate_roundtrip(tmp_path, capsys):
+    """Full lifecycle: train -> checkpoint -> restore -> greedy evaluation
+    (the serving path)."""
+    from gym_supplychain_tpu.learn.evaluate import main as eval_main
+    from gym_supplychain_tpu.learn.train import main as train_main
+
+    ckdir = str(tmp_path / "run")
+    train_main(["--env", "supplychain-linear-v0", "--envs", "8", "--iters",
+                "2", "--rollout-steps", "4", "--hidden", "16", "--horizon",
+                "8", "--checkpoint-dir", ckdir])
+    ck = [os.path.join(ckdir, f) for f in os.listdir(ckdir)][0]
+    eval_main(["--restore", ck, "--env", "supplychain-linear-v0", "--envs",
+               "8", "--episodes", "2", "--horizon", "8"])
+    out = capsys.readouterr().out
+    assert "mean_return" in out

@@ -1,0 +1,59 @@
+"""Pallas kernel parity: the fused whole-episode beer game kernel must match
+the lax.scan path bit-for-bit (interpret mode on CPU; the compiled-TPU
+comparison lives in benchmarks/pallas_vs_xla.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_pallas_episode_matches_scan():
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import beergame_episode_pallas
+
+    W, L, B = 35, 4, 8
+    rs = np.random.RandomState(0)
+    demand = np.array([4] * 4 + [8] * (W - 4), np.int32)
+    actions = rs.randint(0, 16, size=(W, L, B)).astype(np.int32)
+    inv0 = np.full((L, B), 12, np.int32)
+
+    reset_fn, step_fn, _ = make_beergame_kernels(L, W, 2, itype=jnp.int32)
+    delays = np.full(W + 1, 2, np.int32)
+    st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+    step = jax.jit(step_fn)
+    scan_rewards = []
+    for w in range(W):
+        st, (_, r, _) = step(st, actions[w])
+        scan_rewards.append(np.asarray(r))
+    scan_rewards = np.stack(scan_rewards)
+
+    dem2 = np.broadcast_to(demand[:, None], (W, B)).copy()
+    pallas_rewards = np.asarray(beergame_episode_pallas(
+        dem2, actions, inv0, interpret=True))
+    np.testing.assert_array_equal(pallas_rewards, scan_rewards)
+
+
+def test_pallas_episode_custom_params():
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import beergame_episode_pallas
+
+    W, L, B = 20, 3, 4
+    rs = np.random.RandomState(5)
+    demand = rs.randint(0, 10, size=W).astype(np.int32)
+    actions = rs.randint(0, 9, size=(W, L, B)).astype(np.int32)
+    inv0 = np.broadcast_to(np.array([[5], [9], [13]], np.int32), (L, B)).copy()
+
+    reset_fn, step_fn, _ = make_beergame_kernels(
+        L, W, 3, inv_cost=2, backlog_cost=7, itype=jnp.int32)
+    delays = np.full(W + 1, 3, np.int32)
+    st = reset_fn(demand, delays, [5, 9, 13], 6, 2, B)
+    step = jax.jit(step_fn)
+    scan_rewards = []
+    for w in range(W):
+        st, (_, r, _) = step(st, actions[w])
+        scan_rewards.append(np.asarray(r))
+
+    dem2 = np.broadcast_to(demand[:, None], (W, B)).copy()
+    pallas_rewards = np.asarray(beergame_episode_pallas(
+        dem2, actions, inv0, delay=3, init_ship=6, init_orders=2,
+        inv_cost=2, backlog_cost=7, interpret=True))
+    np.testing.assert_array_equal(pallas_rewards, np.stack(scan_rewards))
