@@ -43,29 +43,49 @@ def main(B=4096, W=35, L=4, repeats=30):
         _, rws = jax.lax.scan(body, st, actions)
         return rws
 
-    # The action table is embedded as a compile-time constant: under this
-    # runtime every jitted-call array argument is re-shipped through the TPU
-    # tunnel (~30 ms for the 2.3 MB table), which would swamp the sub-ms
-    # kernels we are comparing.
-    pallas_fn = jax.jit(
-        lambda: beergame_episode_pallas(dem2, actions, inv0))
-    scan_fn = jax.jit(lambda: scan_ep(actions))
+    # Measurement hygiene for the tunneled-TPU runtime: inputs are generated
+    # on device from a PRNG key (multi-MB jit arguments are re-shipped per
+    # call, multi-MB embedded constants wedge the remote compile) and every
+    # jitted function returns a SCALAR (large jit outputs are shipped
+    # eagerly, ~30 ms for the [W, B] reward table).  The bit-equality check
+    # therefore also runs on device.
+    def _actions(key):
+        return jax.random.randint(key, (W, L, B), 0, 16, jnp.int32)
 
-    out_p = pallas_fn()
-    out_s = scan_fn()
-    jax.block_until_ready((out_p, out_s))
-    equal = bool(jax.device_get(jnp.array_equal(out_p, out_s)))
+    def _pallas(acts):
+        dem_dev = jnp.broadcast_to(jnp.asarray(demand)[:, None], (W, B))
+        inv_dev = jnp.full((L, B), 12, jnp.int32)
+        return beergame_episode_pallas(dem_dev, acts, inv_dev)
+
+    @jax.jit
+    def check_fn(key):
+        acts = _actions(key)
+        return jnp.array_equal(_pallas(acts), scan_ep(acts))
+
+    @jax.jit
+    def pallas_fn(key):
+        return _pallas(_actions(key)).sum()
+
+    @jax.jit
+    def scan_fn(key):
+        return scan_ep(_actions(key)).sum()
 
     def best(fn):
+        fn(jax.random.PRNGKey(99)).block_until_ready()   # warm
         b = float("inf")
-        for _ in range(repeats):
+        for r in range(repeats):
+            k = jax.random.PRNGKey(r)
             t0 = time.perf_counter()
-            fn().block_until_ready()
+            fn(k).block_until_ready()
             b = min(b, time.perf_counter() - t0)
         return b
 
     tp = best(pallas_fn)
     ts = best(scan_fn)
+    # value fetch LAST: under the tunneled runtime the first device->host
+    # fetch in a process is slow and permanently degrades later dispatches,
+    # so it must not precede the timing loops
+    equal = bool(jax.device_get(check_fn(jax.random.PRNGKey(0))))
     print(json.dumps({
         "platform": jax.devices()[0].platform,
         "bit_equal": equal,

@@ -12,13 +12,15 @@ Layout: the env batch is the trailing (128-wide lane) axis everywhere; the
 ``make_beergame_kernels(itype=jnp.int32)`` bit-for-bit (verified by
 tests/test_pallas_ops.py).
 
-Scope notes (honest engineering tradeoff, measured in benchmarks/pallas_vs
-_xla.py): the scan body is already fully fused by XLA, so this kernel wins
-only the per-iteration While overhead; it exists as the maintained pattern
-for episode-granular fusion (actions precomputed, e.g. replay/evaluation
-sweeps), not as the default path.  v0 semantics, uniform scalar delay table
-(the common benchmark configuration); the general per-lane stochastic-delay
-case stays on the scan path.
+Scope notes (measured in benchmarks/pallas_vs_xla.py, docs/PERFORMANCE.md):
+the scan body is already fully fused by XLA, so this kernel wins the
+remaining While-iteration overhead — measured up to ~2x per whole episode at
+4096 envs (0.063 ms vs 0.123 ms), converging at larger batches where both
+hit the dispatch floor.  It is the maintained pattern for episode-granular
+fusion (actions precomputed, e.g. replay/evaluation sweeps); the scan path
+stays the default because it feeds per-step observations to a policy and
+handles per-lane stochastic delays.  v0 semantics, uniform scalar delay
+table here.
 """
 from __future__ import annotations
 
