@@ -33,11 +33,11 @@ __all__ = ["PPOConfig", "TrainState", "make_ppo", "make_beergame_ppo"]
 
 class PPOConfig(NamedTuple):
     rollout_steps: int = 16
-    epochs: int = 2
+    epochs: int = 4
     gamma: float = 0.99
     lam: float = 0.95
     clip: float = 0.2
-    lr: float = 3e-4
+    lr: float = 1e-3
     ent_coef: float = 1e-3
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5

@@ -1,5 +1,7 @@
 """Vectorized env, PPO learner, and multi-device mesh tests (all new
 capability vs the reference; SURVEY.md §2 bottom rows)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -166,3 +168,25 @@ def test_beergame_ppo_learns():
         (early if it < 10 else late).append(float(m["mean_reward"]))
     assert np.mean(late[-10:]) > np.mean(early) + 60.0, (
         f"no learning: early={np.mean(early):.1f} late={np.mean(late[-10:]):.1f}")
+
+
+@pytest.mark.skipif(not os.environ.get("GST_FULL"),
+                    reason="set GST_FULL=1 for the slow learning sweep")
+def test_supplychain_ppo_learns():
+    """Slow canary: PPO on the 2perstage chain improves mean reward by >15%
+    over the random-policy level within 100 iterations."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+
+    cc = sct.make("supplychain-2perstage-v0", total_time_steps=60).cc
+    init_fn, train_step = make_ppo(
+        cc, 256, PPOConfig(rollout_steps=32, hidden=(64, 64), lr=3e-3,
+                           epochs=4))
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    hist = []
+    for it in range(100):
+        state, m = step(state)
+        hist.append(float(m["mean_reward"]))
+    early, late = np.mean(hist[:10]), np.mean(hist[-10:])
+    assert late > early * 0.85, f"no learning: {early:.0f} -> {late:.0f}"
