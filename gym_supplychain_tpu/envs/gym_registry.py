@@ -13,7 +13,7 @@ from typing import Any, Optional
 
 import numpy as np
 
-__all__ = ["GymnasiumAdapter", "register_gymnasium"]
+__all__ = ["GymnasiumAdapter", "GymnasiumVectorAdapter", "register_gymnasium"]
 
 try:
     import gymnasium as _gymnasium
@@ -68,6 +68,55 @@ class GymnasiumAdapter(_EnvBase):
     def close(self):
         if hasattr(self._env, "close"):
             self._env.close()
+
+
+class GymnasiumVectorAdapter:
+    """Expose the batched TPU engine through the ``gymnasium.vector``
+    conventions (batch-FIRST arrays, autoreset every `T` steps, 5-tuple
+    step).  The native batch-trailing layout stays on device; only the
+    returned views are transposed.
+
+    >>> vec = GymnasiumVectorAdapter("supplychain-ntom-v0", num_envs=4096)
+    >>> obs, info = vec.reset(seed=0)          # obs [4096, obs_dim]
+    >>> obs, r, term, trunc, info = vec.step(actions)   # actions [4096, A]
+    """
+
+    def __init__(self, env_id: str, num_envs: int = 1024, **kwargs):
+        import gymnasium
+        import jax.numpy as jnp
+        from .. import make as _make
+        from .vector import VecSupplyChainEnv
+
+        proto = _make(env_id, **kwargs)
+        if not hasattr(proto, "cc"):
+            raise ValueError(f"{env_id!r} is not a supply-chain env; the "
+                             "vector adapter covers the Box-action family")
+        self.num_envs = num_envs
+        self._vec = VecSupplyChainEnv(cc=proto.cc, batch_size=num_envs)
+        A, O = proto.cc.A, proto.cc.obs_dim
+        self.single_action_space = gymnasium.spaces.Box(-1., 1., (A,), np.float32)
+        self.single_observation_space = gymnasium.spaces.Box(-1., 1., (O,), np.float32)
+        self.action_space = gymnasium.spaces.Box(-1., 1., (num_envs, A), np.float32)
+        self.observation_space = gymnasium.spaces.Box(-1., 1., (num_envs, O), np.float32)
+        self._T = proto.cc.T
+        self._jnp = jnp
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        import jax
+        if seed is not None:
+            self._vec._key = jax.random.PRNGKey(seed)
+        obs = self._vec.reset()
+        return np.asarray(obs).T, {}
+
+    def step(self, actions):
+        out = self._vec.step(self._jnp.asarray(np.asarray(actions).T))
+        done = bool(out.done)
+        term = np.full(self.num_envs, done)
+        trunc = np.zeros(self.num_envs, bool)
+        return (np.asarray(out.obs).T, np.asarray(out.reward), term, trunc, {})
+
+    def close(self):
+        pass
 
 
 def register_gymnasium() -> bool:

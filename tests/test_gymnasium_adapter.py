@@ -30,3 +30,19 @@ def test_multidiscrete_spaces():
     assert env.observation_space.contains(obs)
     obs, r, term, trunc, _ = env.step(env.action_space.sample())
     assert obs.dtype.kind == "i"
+
+
+def test_vector_adapter():
+    gymnasium = pytest.importorskip("gymnasium")
+    from gym_supplychain_tpu.envs.gym_registry import GymnasiumVectorAdapter
+
+    B = 8
+    vec = GymnasiumVectorAdapter("supplychain-linear-v0", num_envs=B,
+                                 total_time_steps=4)
+    obs, info = vec.reset(seed=0)
+    assert obs.shape == (B, vec.single_observation_space.shape[0])
+    for t in range(5):       # crosses the T=4 auto-reset boundary
+        a = np.zeros((B, vec.single_action_space.shape[0]), np.float32)
+        obs, r, term, trunc, _ = vec.step(a)
+        assert obs.shape[0] == B and r.shape == (B,)
+        assert term.all() == (t == 3)
