@@ -44,9 +44,7 @@ def main(argv=None):
     import gym_supplychain_tpu as sct
     from gym_supplychain_tpu.learn.ppo import (PPOConfig, make_beergame_ppo,
                                                make_ppo)
-    from gym_supplychain_tpu.models.policy import param_shardings
-    from gym_supplychain_tpu.parallel.mesh import (make_mesh, replicated,
-                                                   shard_vec_state)
+    from gym_supplychain_tpu.parallel.mesh import make_mesh, replicated
     from gym_supplychain_tpu.utils.checkpoint import (restore_checkpoint,
                                                       save_checkpoint)
     from gym_supplychain_tpu.utils.profiling import (Throughput, log_metrics,
@@ -60,23 +58,31 @@ def main(argv=None):
     else:
         cc = sct.make(args.env, total_time_steps=args.horizon).cc
         init_fn, train_step = make_ppo(cc, args.envs, cfg)
-    state = init_fn(jax.random.PRNGKey(args.seed))
 
+    key = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
-    if n_dev > 1:
+    if n_dev > 1 and not args.env.startswith("beergame"):
+        # global shardings at creation time: required for multi-process
+        # (multi-host) runs, where arrays built outside jit are committed to
+        # process-local devices
+        from gym_supplychain_tpu.parallel.mesh import train_state_shardings
         mesh = make_mesh(data=n_dev // args.model_axis, model=args.model_axis)
-        state = state._replace(
-            env=shard_vec_state(mesh, state.env),
-            params=jax.tree.map(jax.device_put, state.params,
-                                param_shardings(state.params, mesh, "model")),
-            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
-        )
+        shapes = jax.eval_shape(init_fn, key)
+        sh = train_state_shardings(
+            mesh, shapes, "model" if args.model_axis > 1 else None)
+        state = jax.jit(init_fn, out_shardings=sh)(key)
+        repl = replicated(mesh)
+        step_jit = jax.jit(
+            train_step, in_shardings=(sh,),
+            out_shardings=(sh, {"loss": repl, "mean_reward": repl,
+                                "mean_value": repl}))
         print(f"# mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    else:
+        state = init_fn(key)
+        step_jit = jax.jit(train_step)
 
     if args.restore:
         state = restore_checkpoint(args.restore, like=state)
-
-    step_jit = jax.jit(train_step)
     meter = Throughput(args.envs * cfg.rollout_steps)
     with trace(args.trace_dir):
         for it in range(args.iters):

@@ -17,7 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["init_distributed", "make_mesh", "trailing_sharding",
-           "shard_vec_state", "replicated"]
+           "shard_vec_state", "replicated", "train_state_shardings"]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -56,6 +56,38 @@ def trailing_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def train_state_shardings(mesh: Mesh, shapes, hidden_axis: Optional[str] = None):
+    """Sharding tree for a PPO ``TrainState`` (learn/ppo.py) over ``mesh``:
+    params/opt_state/PRNG keys replicated (optionally trunk hidden dims over
+    ``hidden_axis``), env arrays sharded on their trailing env-batch axis.
+
+    ``shapes`` is ``jax.eval_shape(init_fn, key)``.  Use as ``out_shardings``
+    of a jitted ``init_fn`` so state is created directly with GLOBAL
+    shardings — required in multi-process (multi-host) runs, where arrays
+    built outside jit would be committed to process-local devices.
+    """
+    def repl(_=None):
+        return NamedSharding(mesh, P())
+
+    def trailing(x):
+        if getattr(x, "ndim", 0) == 0:
+            return repl()
+        return trailing_sharding(mesh, x.ndim)
+
+    if hidden_axis and hidden_axis in mesh.axis_names:
+        from ..models.policy import param_shardings
+        params_sh = param_shardings(shapes.params, mesh, hidden_axis)
+    else:
+        params_sh = jax.tree.map(repl, shapes.params)
+    return shapes._replace(
+        params=params_sh,
+        opt_state=jax.tree.map(repl, shapes.opt_state),
+        env=shapes.env._replace(key=repl(),
+                                env=jax.tree.map(trailing, shapes.env.env)),
+        key=repl(),
+    )
 
 
 def shard_vec_state(mesh: Mesh, state):

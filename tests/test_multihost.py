@@ -1,0 +1,45 @@
+"""True multi-process distributed training test (SURVEY.md §7 M5).
+
+Spawns TWO OS processes that form a jax.distributed CPU cluster (4 virtual
+devices each = 8 global), jit the sharded PPO train step over the global
+('data' x 'model') mesh, and train for 3 iterations.  Asserts both ranks
+complete and report bitwise-identical replicated metrics — the same SPMD
+program a TPU pod runs, with Gloo standing in for ICI.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.skipif(os.environ.get("GST_NO_SUBPROC") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_sharded_training():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen([sys.executable, _WORKER, str(r), str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env)
+             for r in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        outs.append(out)
+    losses = sorted(re.search(r"RANK(\d) loss=([-\d.e]+)", o).groups()
+                    for o in outs)
+    assert [r for r, _ in losses] == ["0", "1"]
+    # replicated metrics must be bitwise identical across processes
+    assert losses[0][1] == losses[1][1]
