@@ -1,0 +1,287 @@
+"""Pallas TPU kernel: whole-episode supply-chain rollout in one kernel.
+
+Monte-Carlo episode sweeps (random-policy evaluation, the M4 workload) do
+not need per-step observations on the host — the entire episode can run as
+one Pallas program with every state buffer in VMEM: stock ``[N, P, B]``, the
+in-transit pipeline as a ring ``[R, N, P, B]`` (slot = t % R, R = Lmax + 1),
+and the whole-episode demand table.  Actions are either drawn in-kernel from
+the TPU PRNG (``seed`` mode — zero input bandwidth) or read from a
+precomputed ``[T, A, B]`` table (parity testing against the scan engine).
+
+Semantics mirror core/step.py phase-for-phase for **constant lead-times**
+(reference supplychain_env.py:208-396 with ``stochastic_leadtimes=False``):
+arrivals -> stock-capacity penalty -> supply -> sorted-cut ship with
+processing/ship clipping (including the reference's bug-compatible shared
+ship-capacity bookkeeping, SURVEY.md §2.1-4) -> retailer demand -> holding
+costs.  Per-step rewards ``[T, B]`` are the output.
+
+All node/product/destination loops are unrolled at trace time (they are
+small static constants of the compiled chain); the sorted cut uses an
+unrolled selection network over the ≤Dmax destination values, stable in
+destination order exactly like the reference's tuple sort.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.compile import CompiledChain
+
+__all__ = ["make_supplychain_episode_pallas"]
+
+
+def _uniform_pm1(shape):
+    """Random floats in [-1, 1) from the on-chip PRNG (bitcast trick)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # uint32 mantissa -> [1, 2) float via exponent splice (logical shift on
+    # uint32!), then affine to [-1, 1)
+    fbits = pltpu.bitcast(
+        jnp.bitwise_or(jnp.right_shift(bits, jnp.uint32(9)),
+                       jnp.uint32(0x3F800000)), jnp.float32)
+    return 2.0 * fbits - 3.0
+
+
+def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
+                                    interpret: bool = False):
+    """Build ``episode(demands[T+1, R, P, B], seed_or_actions) -> rewards
+    [T, B]`` for a constant-lead-time compiled chain.
+
+    Returns ``(run_seeded, run_actions)``: the first takes an int32 seed and
+    draws actions on chip; the second takes ``actions[T, A, B]`` in [-1, 1]
+    for parity testing.
+    """
+    if cc.stochastic_leadtimes:
+        raise NotImplementedError(
+            "pallas episode kernel covers constant lead-times; stochastic "
+            "lead-time configs use the scan engine")
+    N, P, Dmax, A, R = cc.N, cc.P, cc.Dmax, cc.A, cc.R
+    L = int(cc.Lavg)
+    RING = L + 1
+    f32 = jnp.float32
+
+    is_retailer = np.asarray(cc.is_retailer)
+    retailer_idx = [int(i) for i in np.asarray(cc.retailer_idx)]
+    is_factory = np.asarray(cc.is_factory)
+    has_supply = np.asarray(cc.has_supply)
+    has_ship = np.asarray(cc.has_ship) & (~cc.is_retailer[:, None])
+    supply_cap = np.asarray(cc.supply_cap, np.float32)
+    supply_cost = np.asarray(cc.supply_cost, np.float32)
+    stock_cap = np.asarray(cc.stock_cap, np.float32)
+    stock_cost = np.asarray(cc.stock_cost, np.float32)
+    proc_cap = np.asarray(cc.proc_cap, np.float32)
+    proc_cost = np.asarray(cc.proc_cost, np.float32)
+    proc_ratio = np.asarray(cc.proc_ratio, np.float32)
+    ship_cap_edge = np.asarray(cc.ship_cap_edge, np.float32)
+    ship_cost = np.asarray(cc.ship_cost, np.float32)
+    edge_mask = np.asarray(cc.edge_mask)
+    sup_act_idx = np.maximum(cc.sup_act_idx, 0)
+    ship_act_idx = np.maximum(cc.ship_act_idx, 0)
+    init_stock = np.asarray(cc.initial_stock, np.float32)      # [N,P]
+    init_pipe = np.asarray(cc.init_pipe, np.float32)           # [H,N,P]
+    c_stock_pen = float(cc.c_stock_pen)
+    c_proc_pen = float(cc.c_proc_pen)
+    c_ship_pen = float(cc.c_ship_pen)
+    c_unmet = float(cc.c_unmet)
+
+    e_src, e_di = np.nonzero(edge_mask)
+    e_dst = cc.edge_dst[e_src, e_di]
+    edges = [(int(s), int(d), int(t)) for s, d, t in zip(e_src, e_di, e_dst)]
+
+    def _kernel(demand_ref, act_ref, reward_ref, stock_ref, ring_ref, *,
+                seeded: bool):
+        # --- episode init (reference reset, :630-682) --------------------
+        for n in range(N):
+            for p in range(P):
+                stock_ref[n, p] = jnp.full((B,), init_stock[n, p], f32)
+        for r in range(RING):
+            for n in range(N):
+                for p in range(P):
+                    v = init_pipe[r - 1, n, p] if 1 <= r <= init_pipe.shape[0] \
+                        else 0.0
+                    # init_pipe[j] arrives at t=1+j -> ring slot 1+j
+                    ring_ref[r, n, p] = jnp.full((B,), v, f32)
+        if seeded:
+            pltpu.prng_seed(act_ref[0])
+
+        def step_body(ti, _):
+            t = ti + 1
+            slot = t % RING
+            if seeded:
+                a = _uniform_pm1((A, B))
+            else:
+                a = act_ref[ti]                                   # [A,B]
+            a = (a + 1.0) * 0.5
+
+            reward = jnp.zeros((B,), f32)
+
+            # phase 1+2: arrivals, stock-capacity penalty ------------------
+            stocks = []
+            for n in range(N):
+                cols = []
+                for p in range(P):
+                    s = stock_ref[n, p] + ring_ref[slot, n, p]
+                    if np.isfinite(stock_cap[n, p]):
+                        excess = jnp.maximum(s - stock_cap[n, p], 0.0)
+                        reward = reward - c_stock_pen * excess
+                        s = jnp.minimum(s, stock_cap[n, p])
+                    cols.append(s)
+                stocks.append(cols)
+            ring_ref[slot] = jnp.zeros((N, P, B), f32)
+
+            # phase 3: supply (:244-259) ----------------------------------
+            push_slot = (t + L) % RING
+            pushes = {}          # (n, p) -> amount into own pipeline
+            for n in range(N):
+                for p in range(P):
+                    if not has_supply[n, p]:
+                        continue
+                    amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
+                    reward = reward - amt * supply_cost[n, p]
+                    pushes[(n, p)] = amt
+
+            # phase 4: ship (:262-375) ------------------------------------
+            edge_push = {}       # (src, di, p) -> shipped amount
+            for n in range(N):
+                if not has_ship[n].any():
+                    continue
+                avail_proc = jnp.full((B,), proc_cap[n], f32)
+                avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
+                              for d in range(Dmax)]
+                for p in range(P):
+                    dvals = [jnp.where(edge_mask[n, d],
+                                       a[ship_act_idx[n, p, d]], 0.0)
+                             if has_ship[n, p] else jnp.zeros((B,), f32)
+                             for d in range(Dmax)]
+                    avail_mat = stocks[n][p]
+                    # sorted-cut (SC_Action.apply SHIP, :58-96): sort values
+                    # ascending, ties by destination index; destination d's
+                    # cut is the gap to its sort predecessor.  pred_d =
+                    # max{v_e : (v_e, e) <lex (v_d, d)} computed by an
+                    # unrolled pairwise max — no gather/sort primitive
+                    # needed.  In exact arithmetic the cumulative clamp
+                    # (:86-87) never binds (sum of cuts through rank k =
+                    # v_(k)·avail ≤ avail); the min guards float rounding.
+                    amounts = [None] * Dmax
+                    for d in range(Dmax):
+                        pred = jnp.zeros((B,), f32)
+                        for e in range(Dmax):
+                            if e == d:
+                                continue
+                            before = (dvals[e] <= dvals[d]) if e < d else \
+                                     (dvals[e] < dvals[d])
+                            pred = jnp.where(before,
+                                             jnp.maximum(pred, dvals[e]),
+                                             pred)
+                        cut = (dvals[d] - pred) * avail_mat
+                        amt = jnp.minimum(
+                            cut, jnp.maximum((1.0 - pred) * avail_mat, 0.0))
+                        amounts[d] = jnp.maximum(amt, 0.0)
+
+                    # processing clip (factories, :298-310)
+                    if is_factory[n]:
+                        clipped = []
+                        for d in range(Dmax):
+                            ai = amounts[d]
+                            gate = ai > 0
+                            over = gate & (ai > avail_proc)
+                            reward = reward - c_proc_pen * jnp.where(
+                                over, ai - avail_proc, 0.0)
+                            ai2 = jnp.where(over, avail_proc, ai)
+                            avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
+                            clipped.append(ai2)
+                        to_ship = [c / proc_ratio[n, p] for c in clipped]
+                        amounts = clipped
+                    else:
+                        to_ship = amounts
+
+                    # ship clip, bug-compatible bookkeeping (:312-328)
+                    leaving = jnp.zeros((B,), f32)
+                    for d in range(Dmax):
+                        if not edge_mask[n, d]:
+                            continue
+                        a2 = to_ship[d]
+                        gate2 = (a2 > 0) & (a2 > avail_ship[d])
+                        reward = reward - c_ship_pen * jnp.where(
+                            gate2, a2 - avail_ship[d], 0.0)
+                        a2c = jnp.where(gate2, avail_ship[d], a2)
+                        raw = jnp.where(
+                            gate2,
+                            a2c * (proc_ratio[n, p] if is_factory[n] else 1.0),
+                            amounts[d])
+                        avail_ship[d] = avail_ship[d] - jnp.where(gate2, raw,
+                                                                  0.0)
+                        leaving = leaving + raw
+                        reward = reward - a2c * ship_cost[n, p, d]
+                        edge_push[(n, d, p)] = a2c
+                    stocks[n][p] = avail_mat - leaving
+                    if is_factory[n]:
+                        reward = reward - leaving * proc_cost[n, p]
+
+            # phase 5: retailer demand (:378-387) -------------------------
+            dem_row = demand_ref[ti]                              # [R,P,B]
+            for ri, n in enumerate(retailer_idx):
+                for p in range(P):
+                    d = dem_row[ri, p]
+                    ful = jnp.minimum(stocks[n][p], d)
+                    stocks[n][p] = stocks[n][p] - ful
+                    reward = reward - c_unmet * (d - ful)
+
+            # phase 6: holding costs (:389-394) + state writeback ---------
+            for n in range(N):
+                for p in range(P):
+                    reward = reward - stocks[n][p] * stock_cost[n, p]
+                    stock_ref[n, p] = stocks[n][p]
+            # scatter pipeline pushes (supply into own pipeline, shipments
+            # into destination pipelines; both arrive at t+L in const mode)
+            upd = {}
+            for (n, p), amt in pushes.items():
+                upd[(n, p)] = upd.get((n, p), 0) + amt
+            dst_of = {(s, d): t2 for s, d, t2 in edges}
+            for (src, di, p), amt in edge_push.items():
+                dst = dst_of[(src, di)]
+                upd[(dst, p)] = upd.get((dst, p), 0) + amt
+            for (n, p), amt in upd.items():
+                ring_ref[push_slot, n, p] = ring_ref[push_slot, n, p] + amt
+
+            reward_ref[ti] = reward
+            return 0
+
+        jax.lax.fori_loop(0, T, step_body, 0)
+
+    def _build(seeded):
+        kernel = functools.partial(_kernel, seeded=seeded)
+        act_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if seeded
+                    else pl.BlockSpec(memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((T, B), f32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), act_spec],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((N, P, B), f32),          # stock
+                pltpu.VMEM((RING, N, P, B), f32),    # pipeline ring
+            ],
+            interpret=interpret,
+        )
+
+    seeded_call = _build(True)
+    actions_call = _build(False)
+
+    @jax.jit
+    def run_seeded(demands, seed):
+        """demands[T+1, R, P, B] f32, seed scalar int32 -> rewards[T, B]."""
+        return seeded_call(jnp.asarray(demands, f32),
+                           jnp.asarray(seed, jnp.int32).reshape(1))
+
+    @jax.jit
+    def run_actions(demands, actions):
+        """demands[T+1, R, P, B], actions[T, A, B] in [-1,1] -> [T, B]."""
+        return actions_call(jnp.asarray(demands, f32),
+                            jnp.asarray(actions, f32))
+
+    return run_seeded, run_actions

@@ -57,3 +57,63 @@ def test_pallas_episode_custom_params():
         dem2, actions, inv0, delay=3, init_ship=6, init_orders=2,
         inv_cost=2, backlog_cost=7, interpret=True))
     np.testing.assert_array_equal(pallas_rewards, np.stack(scan_rewards))
+
+
+def _scan_rewards(cc, demands, actions):
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    T = actions.shape[0]
+    B = actions.shape[-1]
+    reset_fn, step_fn, _ = make_supplychain_kernels(cc)
+    st = reset_fn(demands, None, B)
+    step = jax.jit(step_fn)
+    out = []
+    for t in range(T):
+        st, o = step(st, jnp.asarray(actions[t]))
+        out.append(np.asarray(o.reward))
+    return np.stack(out)
+
+
+def test_supplychain_pallas_linear():
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_episode_pallas)
+
+    T, B = 20, 4
+    cc = sct.make("supplychain-linear-v0", total_time_steps=T).cc
+    rs = np.random.RandomState(0)
+    actions = (2 * rs.rand(T, cc.A, B) - 1).astype(np.float32)
+    demands = rs.randint(0, 20, size=(T + 1, cc.R, cc.P, B)).astype(np.float32)
+    _, run_actions = make_supplychain_episode_pallas(cc, T, B, interpret=True)
+    pal = np.asarray(run_actions(demands, actions))
+    scan = _scan_rewards(cc, demands, actions)
+    np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
+
+
+def test_supplychain_pallas_2perstage():
+    """Full 8-node bipartite chain: factories (processing ratio/capacity),
+    sorted-cut over 2 destinations, every cost category."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_episode_pallas)
+
+    T, B = 15, 4
+    cc = sct.make("supplychain-2perstage-v0", total_time_steps=T,
+                  stochastic_leadtimes=False).cc
+    rs = np.random.RandomState(3)
+    actions = (2 * rs.rand(T, cc.A, B) - 1).astype(np.float32)
+    demands = rs.randint(0, 30, size=(T + 1, cc.R, cc.P, B)).astype(np.float32)
+    _, run_actions = make_supplychain_episode_pallas(cc, T, B, interpret=True)
+    pal = np.asarray(run_actions(demands, actions))
+    scan = _scan_rewards(cc, demands, actions)
+    np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
+
+
+def test_supplychain_pallas_rejects_stochastic_leadtimes():
+    import pytest
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_episode_pallas)
+
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=5).cc
+    with pytest.raises(NotImplementedError):
+        make_supplychain_episode_pallas(cc, 5, 4)
