@@ -3,17 +3,25 @@
 Monte-Carlo episode sweeps (random-policy evaluation, the M4 workload) do
 not need per-step observations on the host — the entire episode can run as
 one Pallas program with every state buffer in VMEM: stock ``[N, P, B]``, the
-in-transit pipeline as a ring ``[R, N, P, B]`` (slot = t % R, R = Lmax + 1),
+in-transit pipeline as a ring ``[R, N, P, B]`` (slot = t % R, R = H + 1),
 and the whole-episode demand table.  Actions are either drawn in-kernel from
 the TPU PRNG (``seed`` mode — zero input bandwidth) or read from a
 precomputed ``[T, A, B]`` table (parity testing against the scan engine).
 
-Semantics mirror core/step.py phase-for-phase for **constant lead-times**
-(reference supplychain_env.py:208-396 with ``stochastic_leadtimes=False``):
-arrivals -> stock-capacity penalty -> supply -> sorted-cut ship with
-processing/ship clipping (including the reference's bug-compatible shared
-ship-capacity bookkeeping, SURVEY.md §2.1-4) -> retailer demand -> holding
-costs.  Per-step rewards ``[T, B]`` are the output.
+Semantics mirror core/step.py phase-for-phase (reference
+supplychain_env.py:208-396): arrivals -> stock-capacity penalty -> supply ->
+sorted-cut ship with processing/ship clipping (including the reference's
+bug-compatible shared ship-capacity bookkeeping, SURVEY.md §2.1-4) ->
+retailer demand -> holding costs.  Per-step rewards ``[T, B]`` are the
+output.
+
+Stochastic lead-times take the per-episode table ``[T, K, B]`` as a kernel
+input and reproduce the reference's action-dependent column consumption
+(supplychain_env.py:252-254, :270, :344-348, :374-375; SURVEY.md §2.1-5):
+each node's supply column index advances only for supplied amounts > 0, and
+its transport columns start after the fired supplies, one per destination,
+shared across products.  Column gathers are unrolled one-hot selects over
+the K columns (K is a small static constant of the chain).
 
 All node/product/destination loops are unrolled at trace time (they are
 small static constants of the compiled chain); the sorted cut uses an
@@ -48,21 +56,21 @@ def _uniform_pm1(shape):
 
 def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                                     interpret: bool = False):
-    """Build ``episode(demands[T+1, R, P, B], seed_or_actions) -> rewards
-    [T, B]`` for a constant-lead-time compiled chain.
+    """Build whole-episode rollout kernels for a compiled chain.
 
-    Returns ``(run_seeded, run_actions)``: the first takes an int32 seed and
-    draws actions on chip; the second takes ``actions[T, A, B]`` in [-1, 1]
-    for parity testing.
+    Returns ``(run_seeded, run_actions)``.  Constant lead-times:
+    ``run_seeded(demands[T+1, R, P, B], seed)`` / ``run_actions(demands,
+    actions[T, A, B])``.  Stochastic lead-times additionally take the
+    per-episode table: ``run_seeded(demands, leadtimes[T, K, B], seed)`` /
+    ``run_actions(demands, leadtimes, actions)``.  All return per-step
+    rewards ``[T, B]`` float32.
     """
-    if cc.stochastic_leadtimes:
-        raise NotImplementedError(
-            "pallas episode kernel covers constant lead-times; stochastic "
-            "lead-time configs use the scan engine")
-    N, P, Dmax, A, R = cc.N, cc.P, cc.Dmax, cc.A, cc.R
-    L = int(cc.Lavg)
-    RING = L + 1
+    N, P, Dmax, A, R, K = cc.N, cc.P, cc.Dmax, cc.A, cc.R, cc.K
+    stochastic = bool(cc.stochastic_leadtimes)
+    Lavg, Lmax = int(cc.Lavg), int(cc.Lmax)
+    RING = int(cc.H) + 1
     f32 = jnp.float32
+    i32 = jnp.int32
 
     is_retailer = np.asarray(cc.is_retailer)
     retailer_idx = [int(i) for i in np.asarray(cc.retailer_idx)]
@@ -81,6 +89,7 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     edge_mask = np.asarray(cc.edge_mask)
     sup_act_idx = np.maximum(cc.sup_act_idx, 0)
     ship_act_idx = np.maximum(cc.ship_act_idx, 0)
+    lt_base = np.asarray(cc.lt_base, np.int64)
     init_stock = np.asarray(cc.initial_stock, np.float32)      # [N,P]
     init_pipe = np.asarray(cc.init_pipe, np.float32)           # [H,N,P]
     c_stock_pen = float(cc.c_stock_pen)
@@ -91,9 +100,23 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     e_src, e_di = np.nonzero(edge_mask)
     e_dst = cc.edge_dst[e_src, e_di]
     edges = [(int(s), int(d), int(t)) for s, d, t in zip(e_src, e_di, e_dst)]
+    dst_of = {(s, d): t2 for s, d, t2 in edges}
 
-    def _kernel(demand_ref, act_ref, reward_ref, stock_ref, ring_ref, *,
-                seeded: bool):
+    def _kernel(*refs, seeded: bool):
+        if stochastic:
+            demand_ref, lt_ref, act_ref, reward_ref, stock_ref, ring_ref = refs
+        else:
+            demand_ref, act_ref, reward_ref, stock_ref, ring_ref = refs
+            lt_ref = None
+
+        def _gather_lt(lt_row, idx):
+            """One-hot gather: lt_row[K, B] int32, idx[B] int32 -> [B]."""
+            idxc = jnp.clip(idx, 0, K - 1)
+            out = jnp.zeros((B,), i32)
+            for k in range(K):
+                out = jnp.where(idxc == k, lt_row[k], out)
+            return out
+
         # --- episode init (reference reset, :630-682) --------------------
         for n in range(N):
             for p in range(P):
@@ -116,6 +139,7 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
             else:
                 a = act_ref[ti]                                   # [A,B]
             a = (a + 1.0) * 0.5
+            lt_row = lt_ref[ti] if stochastic else None           # [K,B]
 
             reward = jnp.zeros((B,), f32)
 
@@ -133,22 +157,45 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 stocks.append(cols)
             ring_ref[slot] = jnp.zeros((N, P, B), f32)
 
-            # phase 3: supply (:244-259) ----------------------------------
-            push_slot = (t + L) % RING
-            pushes = {}          # (n, p) -> amount into own pipeline
+            # pipeline pushes accumulate as {(arrival_delay, n, p): amount};
+            # written back with one dynamic ring write per (delay, n, p)
+            upd = {}
+
+            def push(L, n, p, amt):
+                key = (L, n, p)
+                upd[key] = upd.get(key, 0) + amt
+
+            # phase 3: supply (:244-259).  Stochastic mode: per-node column
+            # counter advances only for fired (amount > 0) supplies.
+            nf_node = [None] * N         # per-node fired-supply count [B] i32
             for n in range(N):
+                nf = jnp.zeros((B,), i32)
                 for p in range(P):
                     if not has_supply[n, p]:
                         continue
                     amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
                     reward = reward - amt * supply_cost[n, p]
-                    pushes[(n, p)] = amt
+                    fired = amt > 0
+                    if stochastic:
+                        lt = _gather_lt(lt_row, lt_base[n] + nf)
+                        nf = nf + fired.astype(i32)
+                        for L in range(1, Lmax + 1):
+                            push(L, n, p,
+                                 jnp.where(fired & (lt == L), amt, 0.0))
+                    else:
+                        push(Lavg, n, p, amt)
+                nf_node[n] = nf
 
             # phase 4: ship (:262-375) ------------------------------------
-            edge_push = {}       # (src, di, p) -> shipped amount
             for n in range(N):
                 if not has_ship[n].any():
                     continue
+                if stochastic:
+                    # transport columns follow the fired supplies, one per
+                    # destination, shared across products (:270, :344-348)
+                    lt_d = [_gather_lt(lt_row,
+                                       int(lt_base[n] + d) + nf_node[n])
+                            for d in range(Dmax)]
                 avail_proc = jnp.full((B,), proc_cap[n], f32)
                 avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
                               for d in range(Dmax)]
@@ -217,7 +264,16 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                                                                   0.0)
                         leaving = leaving + raw
                         reward = reward - a2c * ship_cost[n, p, d]
-                        edge_push[(n, d, p)] = a2c
+                        dst = dst_of[(n, d)]
+                        # deliver into the destination pipeline (push only
+                        # if > 0, :343-348)
+                        if stochastic:
+                            for L in range(1, Lmax + 1):
+                                push(L, dst, p,
+                                     jnp.where((a2c > 0) & (lt_d[d] == L),
+                                               a2c, 0.0))
+                        else:
+                            push(Lavg, dst, p, a2c)
                     stocks[n][p] = avail_mat - leaving
                     if is_factory[n]:
                         reward = reward - leaving * proc_cost[n, p]
@@ -236,17 +292,10 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 for p in range(P):
                     reward = reward - stocks[n][p] * stock_cost[n, p]
                     stock_ref[n, p] = stocks[n][p]
-            # scatter pipeline pushes (supply into own pipeline, shipments
-            # into destination pipelines; both arrive at t+L in const mode)
-            upd = {}
-            for (n, p), amt in pushes.items():
-                upd[(n, p)] = upd.get((n, p), 0) + amt
-            dst_of = {(s, d): t2 for s, d, t2 in edges}
-            for (src, di, p), amt in edge_push.items():
-                dst = dst_of[(src, di)]
-                upd[(dst, p)] = upd.get((dst, p), 0) + amt
-            for (n, p), amt in upd.items():
-                ring_ref[push_slot, n, p] = ring_ref[push_slot, n, p] + amt
+            # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
+            for (L, n, p), amt in upd.items():
+                s = (t + L) % RING
+                ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
             reward_ref[ti] = reward
             return 0
@@ -257,10 +306,14 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
         kernel = functools.partial(_kernel, seeded=seeded)
         act_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if seeded
                     else pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        if stochastic:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.append(act_spec)
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((T, B), f32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM), act_spec],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((N, P, B), f32),          # stock
@@ -272,16 +325,31 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     seeded_call = _build(True)
     actions_call = _build(False)
 
-    @jax.jit
-    def run_seeded(demands, seed):
-        """demands[T+1, R, P, B] f32, seed scalar int32 -> rewards[T, B]."""
-        return seeded_call(jnp.asarray(demands, f32),
-                           jnp.asarray(seed, jnp.int32).reshape(1))
+    if stochastic:
+        @jax.jit
+        def run_seeded(demands, leadtimes, seed):
+            """demands[T+1,R,P,B], leadtimes[T,K,B] i32, seed -> [T,B]."""
+            return seeded_call(jnp.asarray(demands, f32),
+                               jnp.asarray(leadtimes, i32),
+                               jnp.asarray(seed, i32).reshape(1))
 
-    @jax.jit
-    def run_actions(demands, actions):
-        """demands[T+1, R, P, B], actions[T, A, B] in [-1,1] -> [T, B]."""
-        return actions_call(jnp.asarray(demands, f32),
-                            jnp.asarray(actions, f32))
+        @jax.jit
+        def run_actions(demands, leadtimes, actions):
+            """demands[T+1,R,P,B], leadtimes[T,K,B], actions[T,A,B]."""
+            return actions_call(jnp.asarray(demands, f32),
+                                jnp.asarray(leadtimes, i32),
+                                jnp.asarray(actions, f32))
+    else:
+        @jax.jit
+        def run_seeded(demands, seed):
+            """demands[T+1, R, P, B] f32, seed scalar int32 -> rewards[T, B]."""
+            return seeded_call(jnp.asarray(demands, f32),
+                               jnp.asarray(seed, i32).reshape(1))
+
+        @jax.jit
+        def run_actions(demands, actions):
+            """demands[T+1, R, P, B], actions[T, A, B] in [-1,1] -> [T, B]."""
+            return actions_call(jnp.asarray(demands, f32),
+                                jnp.asarray(actions, f32))
 
     return run_seeded, run_actions

@@ -59,12 +59,12 @@ def test_pallas_episode_custom_params():
     np.testing.assert_array_equal(pallas_rewards, np.stack(scan_rewards))
 
 
-def _scan_rewards(cc, demands, actions):
+def _scan_rewards(cc, demands, actions, leadtimes=None):
     from gym_supplychain_tpu.core.step import make_supplychain_kernels
     T = actions.shape[0]
     B = actions.shape[-1]
     reset_fn, step_fn, _ = make_supplychain_kernels(cc)
-    st = reset_fn(demands, None, B)
+    st = reset_fn(demands, leadtimes, B)
     step = jax.jit(step_fn)
     out = []
     for t in range(T):
@@ -108,12 +108,25 @@ def test_supplychain_pallas_2perstage():
     np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
 
 
-def test_supplychain_pallas_rejects_stochastic_leadtimes():
-    import pytest
+def test_supplychain_pallas_stochastic_leadtimes():
+    """N-to-M chain with stochastic lead-times: the kernel must consume the
+    lead-time table with the reference's action-dependent column indexing
+    (SURVEY.md §2.1-5) exactly like the scan engine."""
     import gym_supplychain_tpu as sct
     from gym_supplychain_tpu.ops.supplychain_pallas import (
         make_supplychain_episode_pallas)
 
-    cc = sct.make("supplychain-ntom-v0", total_time_steps=5).cc
-    with pytest.raises(NotImplementedError):
-        make_supplychain_episode_pallas(cc, 5, 4)
+    T, B = 15, 4
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=T).cc
+    assert cc.stochastic_leadtimes and cc.K > 0
+    rs = np.random.RandomState(7)
+    actions = (2 * rs.rand(T, cc.A, B) - 1).astype(np.float32)
+    # include zero actions so some supplies do NOT fire (exercises the
+    # action-dependent column advancement)
+    actions[actions < -0.5] = -1.0
+    demands = rs.randint(0, 30, size=(T + 1, cc.R, cc.P, B)).astype(np.float32)
+    leadtimes = rs.randint(1, cc.Lmax + 1, size=(T, cc.K, B)).astype(np.int32)
+    _, run_actions = make_supplychain_episode_pallas(cc, T, B, interpret=True)
+    pal = np.asarray(run_actions(demands, leadtimes, actions))
+    scan = _scan_rewards(cc, demands, actions, leadtimes)
+    np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
