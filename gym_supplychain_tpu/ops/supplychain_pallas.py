@@ -89,7 +89,7 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     edge_mask = np.asarray(cc.edge_mask)
     sup_act_idx = np.maximum(cc.sup_act_idx, 0)
     ship_act_idx = np.maximum(cc.ship_act_idx, 0)
-    lt_base = np.asarray(cc.lt_base, np.int64)
+    lt_base = np.asarray(cc.lt_base, np.int32)  # i32: TPU has no 64-bit ints
     init_stock = np.asarray(cc.initial_stock, np.float32)      # [N,P]
     init_pipe = np.asarray(cc.init_pipe, np.float32)           # [H,N,P]
     c_stock_pen = float(cc.c_stock_pen)
@@ -192,9 +192,11 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                     continue
                 if stochastic:
                     # transport columns follow the fired supplies, one per
-                    # destination, shared across products (:270, :344-348)
+                    # destination, shared across products (:270, :344-348);
+                    # only real edges are ever consumed, skip masked slots
                     lt_d = [_gather_lt(lt_row,
                                        int(lt_base[n] + d) + nf_node[n])
+                            if edge_mask[n, d] else None
                             for d in range(Dmax)]
                 avail_proc = jnp.full((B,), proc_cap[n], f32)
                 avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
@@ -273,7 +275,9 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                                      jnp.where((a2c > 0) & (lt_d[d] == L),
                                                a2c, 0.0))
                         else:
-                            push(Lavg, dst, p, a2c)
+                            # a2c can be negative once the bug-compatible
+                            # bookkeeping drives avail_ship below zero
+                            push(Lavg, dst, p, jnp.where(a2c > 0, a2c, 0.0))
                     stocks[n][p] = avail_mat - leaving
                     if is_factory[n]:
                         reward = reward - leaving * proc_cost[n, p]

@@ -108,6 +108,39 @@ def test_supplychain_pallas_2perstage():
     np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
 
 
+def test_supplychain_pallas_negative_ship_overflow():
+    """Regression: the reference's bug-compatible shared ship-capacity
+    bookkeeping (SURVEY.md §2.1-4) can drive avail_ship negative, making a
+    later product's clipped amount a2c negative; the kernel must then push
+    NOTHING into the destination pipeline (supplychain_env.py:343-348), in
+    constant-lead-time mode too, exactly like the scan engine."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_episode_pallas)
+
+    T, B = 6, 4
+    nodes_info = {
+        'Factory': {'initial_stock': [900, 900], 'stock_capacity': 10000,
+                    'stock_cost': 1, 'processing_capacity': 5000,
+                    'processing_cost': 10,
+                    'destinations': ['Retailer'], 'dest_costs': [[2], [2]],
+                    'ship_capacity': [100]},
+        'Retailer': {'initial_stock': [10, 10], 'stock_capacity': 10000,
+                     'stock_cost': 1, 'last_level': True},
+    }
+    cc = sct.make('supplychain-v0', nodes_info=nodes_info, num_products=2,
+                  total_time_steps=T).cc
+    # all actions at max: product 0 over-ships (900/3 = 300 > 100), the
+    # shared capacity is decremented by the RAW amount (-> 100-300 = -200),
+    # product 1 then clips to a2c = -200
+    actions = np.ones((T, cc.A, B), np.float32)
+    demands = np.full((T + 1, cc.R, cc.P, B), 5, np.float32)
+    _, run_actions = make_supplychain_episode_pallas(cc, T, B, interpret=True)
+    pal = np.asarray(run_actions(demands, actions))
+    scan = _scan_rewards(cc, demands, actions)
+    np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
+
+
 def test_supplychain_pallas_stochastic_leadtimes():
     """N-to-M chain with stochastic lead-times: the kernel must consume the
     lead-time table with the reference's action-dependent column indexing
