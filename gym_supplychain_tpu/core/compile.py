@@ -224,6 +224,19 @@ def compile_chain(nodes_info: Dict[str, Dict[str, Any]],
             ship_costs_by_prod[i] = [list(c) for c in info['dest_costs']]
 
     is_factory = proc_cap > 0
+    # The reference divides shipments by processing_ratio whenever
+    # processing_capacity > 0 (supplychain_env.py:298-310) but zeroes the
+    # ratio when processing_cost == 0 (:518-522) — that combination divides
+    # by zero upstream (inf/ZeroDivisionError).  Reject it loudly instead of
+    # silently diverging.
+    for i, name in enumerate(names):
+        if proc_cap[i] > 0 and (proc_ratio[i] == 0).any():
+            raise ValueError(
+                f"node {name!r}: processing_capacity > 0 with a zero "
+                "processing ratio (processing_cost == 0 zeroes it, reference "
+                "supplychain_env.py:518-522) makes the reference divide "
+                "shipments by zero (:310); set a processing_cost or drop "
+                "the processing_capacity")
     # where not a factory, ratio stays at its configured value but is never
     # used for division; replace zeros with 1 for safe vectorized division.
     safe_ratio = np.where(proc_ratio == 0, 1.0, proc_ratio)
@@ -327,7 +340,13 @@ def compile_chain(nodes_info: Dict[str, Dict[str, Any]],
         if lst:
             for per_prod in lst:
                 max_init = max(max_init, len(per_prod))
-    H = max(max_leadtime, max_init)
+    # Constant mode ships at t+avg_leadtime regardless of max_leadtime (the
+    # reference's heaps accept any arrival time, supplychain_env.py:398-400,
+    # :723-724); stochastic draws are clipped to [1, max_leadtime].  Size the
+    # dense pipeline for whichever applies so no material can fall off.
+    eff_lead = max_leadtime if stochastic_leadtimes \
+        else max(max_leadtime, avg_leadtime)
+    H = max(eff_lead, max_init)
     init_pipe = np.zeros((H, N, P))
     init_push_seq = []
     for i in range(N):

@@ -133,9 +133,10 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         dem_obs = ((dem_row - dem_min[None, :, None])
                    / dem_rangev[None, :, None]).reshape(R * P, B)
 
-        safe_cap = jnp.where(stock_cap > 0, stock_cap, 1.0)
-        stock_obs = jnp.where((stock_cap > 0)[:, :, None],
-                              state.stock / safe_cap[:, :, None], 0.0)  # [N,P,B]
+        # direct division like the reference (:433): x/inf -> 0 for the
+        # default unbounded capacity, 0/0 -> nan for a degenerate zero
+        # capacity (the reference emits that nan too)
+        stock_obs = state.stock / stock_cap[:, :, None]              # [N,P,B]
 
         ms = jnp.where(max_ship > 0, max_ship, 1.0)[:, :, None]
         ms_ok = (max_ship > 0)[:, :, None]
@@ -239,12 +240,15 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             lt_shp = _gather_lt(
                 lt_row, lt_base[:, None, None] + n_fired[:, None, :]
                 + di_idx[None, :, None])                             # [N,Dmax,B]
+            for L in range(1, Lmax + 1):
+                contrib = jnp.where(fired & (lt_sup == L), sup_amt, 0.0)
+                pipe = pipe.at[L - 1].add(contrib)
         else:
             lt_sup = jnp.full((N, P, B), Lavg, jnp.int32)
             lt_shp = jnp.full((N, Dmax, B), Lavg, jnp.int32)
-        for L in range(1, Lmax + 1):
-            contrib = jnp.where(fired & (lt_sup == L), sup_amt, 0.0)
-            pipe = pipe.at[L - 1].add(contrib)
+            # constant mode: everything arrives at t+Lavg (even if
+            # Lavg > Lmax, like the reference's heaps) — one scatter
+            pipe = pipe.at[Lavg - 1].add(jnp.where(fired, sup_amt, 0.0))
 
         supply_scope.__exit__(None, None, None)
         # --- phase 4: ship (act :262-375); product loop carries shared
@@ -345,10 +349,14 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             contrib_e = a2c[e_src, e_di]                             # [E,B]
             if debug:
                 ship_pushes.append(contrib_e)
-            lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
-            for L in range(1, Lmax + 1):
-                pipe = pipe.at[L - 1, e_dst, p].add(
-                    jnp.where(lt_ok == L, contrib_e, 0.0))
+            if cc.stochastic_leadtimes:
+                lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
+                for L in range(1, Lmax + 1):
+                    pipe = pipe.at[L - 1, e_dst, p].add(
+                        jnp.where(lt_ok == L, contrib_e, 0.0))
+            else:
+                pipe = pipe.at[Lavg - 1, e_dst, p].add(
+                    jnp.where(contrib_e > 0, contrib_e, 0.0))
 
         stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
 

@@ -254,23 +254,24 @@ class SupplyChainMultiProduct_IncreasingCosts(SupplyChainMultiProduct):
                          stock_costs=stock_costs, **kw)
 
 
-def _dem_by_prod_cfg(num_products, demand_std, list_std=False):
+def _dem_by_prod_cfg(num_products, demand_std):
     """Per-product demand configs for DemConfigByProd variants
-    (supplychain_multiproduct_env.py:180-198, :234-252)."""
+    (supplychain_multiproduct_env.py:180-198, :234-252).  The reference wraps
+    the std of products 2-3 in a 1-element list (:243, :251); NumPy broadcasts
+    that identically to the scalar, so the plain scalar is passed here."""
     assert 1 <= num_products <= 3
-    std = [demand_std] if not list_std else [demand_std]
     demand_range = [(0, 400)]
     demand_stds = [demand_std]
     demand_sen_peaks = [4]
     avg_demand_range = [(100, 300)]
     if num_products > 1:
         demand_range.append((0, 300))
-        demand_stds.append(demand_std if not list_std else [demand_std])
+        demand_stds.append(demand_std)
         demand_sen_peaks.append(None)
         avg_demand_range.append(None)
     if num_products > 2:
         demand_range.append((0, 400))
-        demand_stds.append(demand_std if not list_std else [demand_std])
+        demand_stds.append(demand_std)
         demand_sen_peaks.append(2)
         avg_demand_range.append((100, 300))
     return demand_range, demand_stds, demand_sen_peaks, avg_demand_range

@@ -38,7 +38,7 @@ __all__ = ["beergame_episode_pallas"]
 def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
                     inv_ref, back_ref, orders_ref, ring_ref, *,
                     weeks: int, levels: int, delay: int, ring: int,
-                    init_ship: int, init_orders: int,
+                    init_delay: int, init_ship: int, init_orders: int,
                     inv_cost: int, backlog_cost: int):
     L = levels
 
@@ -46,9 +46,12 @@ def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
     inv_ref[:] = inv0_ref[:]
     back_ref[:] = jnp.zeros_like(back_ref)
     orders_ref[:] = jnp.full_like(orders_ref, init_orders)
-    # ring slots 1..delay hold the initial in-transit value
+    # ring slots 1..init_delay hold the initial in-transit value (the
+    # reference seeds shipments[1 : 1+shipment_delays[0]], the PREPENDED
+    # initial delay, independent of the per-week delay; beergame_env.py:39,
+    # :50-52)
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, ring_ref.shape, 0)
-    ring_ref[:] = jnp.where((slot_ids >= 1) & (slot_ids <= delay),
+    ring_ref[:] = jnp.where((slot_ids >= 1) & (slot_ids <= init_delay),
                             jnp.int32(init_ship), jnp.int32(0))
 
     def week_body(w, _):
@@ -65,11 +68,16 @@ def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
         orders_to_fill = incoming + back_ref[:]
         to_deliver = jnp.minimum(inventory, orders_to_fill)
 
-        # 3. schedule deliveries downstream + factory self-supply at w+delay
+        # 3. deliveries downstream + factory self-supply: immediate into
+        # inventory when delay == 0 (beergame_env.py:93-96, :111-114),
+        # scheduled into the ring at w+delay otherwise
         downstream = jnp.concatenate(
             [to_deliver[1:], placed[-1:]], axis=0)          # [L, B]
-        wslot = (week + delay) % ring
-        ring_ref[wslot] = ring_ref[wslot] + downstream
+        if delay == 0:
+            inventory = inventory + downstream
+        else:
+            wslot = (week + delay) % ring
+            ring_ref[wslot] = ring_ref[wslot] + downstream
 
         # 4. record inventory / backlog
         inventory = inventory - to_deliver
@@ -88,23 +96,29 @@ def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
     jax.lax.fori_loop(0, weeks, week_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("delay", "init_ship",
-                                             "init_orders", "inv_cost",
-                                             "backlog_cost", "interpret"))
+@functools.partial(jax.jit, static_argnames=("delay", "init_delay",
+                                             "init_ship", "init_orders",
+                                             "inv_cost", "backlog_cost",
+                                             "interpret"))
 def beergame_episode_pallas(demand, actions, initial_inventory,
-                            delay: int = 2, init_ship: int = 4,
-                            init_orders: int = 4, inv_cost: int = 1,
-                            backlog_cost: int = 2, interpret: bool = False):
+                            delay: int = 2, init_delay: int = None,
+                            init_ship: int = 4, init_orders: int = 4,
+                            inv_cost: int = 1, backlog_cost: int = 2,
+                            interpret: bool = False):
     """Run one full beer game episode on-chip.
 
     ``demand[W, B]`` int32, ``actions[W, L, B]`` int32,
     ``initial_inventory[L, B]`` int32 -> per-week rewards ``[W, B]`` int32.
+    ``init_delay`` is the reference's prepended initial delay governing the
+    initially in-transit shipments (defaults to ``delay``).
     """
     W, L, B = actions.shape
-    ring = delay + 1
+    if init_delay is None:
+        init_delay = delay
+    ring = max(delay, init_delay) + 1
     kernel = functools.partial(
         _episode_kernel, weeks=W, levels=L, delay=delay, ring=ring,
-        init_ship=init_ship, init_orders=init_orders,
+        init_delay=init_delay, init_ship=init_ship, init_orders=init_orders,
         inv_cost=inv_cost, backlog_cost=backlog_cost)
     return pl.pallas_call(
         kernel,

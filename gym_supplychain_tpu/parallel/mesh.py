@@ -81,11 +81,19 @@ def train_state_shardings(mesh: Mesh, shapes, hidden_axis: Optional[str] = None)
         params_sh = param_shardings(shapes.params, mesh, hidden_axis)
     else:
         params_sh = jax.tree.map(repl, shapes.params)
+    env_shapes = shapes.env
+    if hasattr(env_shapes, "_fields") and \
+            {"key", "env"} <= set(env_shapes._fields):
+        # VecState: replicate its PRNG key, shard the inner EnvState
+        env_sh = env_shapes._replace(
+            key=repl(), env=jax.tree.map(trailing, env_shapes.env))
+    else:
+        # bare env state (e.g. BeerGameState): all arrays batch-trailing
+        env_sh = jax.tree.map(trailing, env_shapes)
     return shapes._replace(
         params=params_sh,
         opt_state=jax.tree.map(repl, shapes.opt_state),
-        env=shapes.env._replace(key=repl(),
-                                env=jax.tree.map(trailing, shapes.env.env)),
+        env=env_sh,
         key=repl(),
     )
 

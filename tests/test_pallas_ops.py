@@ -163,3 +163,31 @@ def test_supplychain_pallas_stochastic_leadtimes():
     pal = np.asarray(run_actions(demands, leadtimes, actions))
     scan = _scan_rewards(cc, demands, actions, leadtimes)
     np.testing.assert_allclose(pal, scan, rtol=0, atol=1e-5 * np.abs(scan).max())
+
+
+def test_pallas_episode_zero_delay():
+    """delay=0 delivers straight into downstream inventory the same week
+    (reference beergame_env.py:93-96, :111-114) — must match the scan path."""
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import beergame_episode_pallas
+
+    W, L, B = 12, 4, 4
+    rs = np.random.RandomState(11)
+    demand = rs.randint(0, 10, size=W).astype(np.int32)
+    actions = rs.randint(0, 9, size=(W, L, B)).astype(np.int32)
+    inv0 = np.full((L, B), 12, np.int32)
+
+    reset_fn, step_fn, _ = make_beergame_kernels(L, W, 2, itype=jnp.int32)
+    delays = np.zeros(W + 1, np.int32)
+    delays[0] = 2   # prepended initial delay seeds the pipeline
+    st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+    step = jax.jit(step_fn)
+    scan_rewards = []
+    for w in range(W):
+        st, (_, r, _) = step(st, actions[w])
+        scan_rewards.append(np.asarray(r))
+
+    dem2 = np.broadcast_to(demand[:, None], (W, B)).copy()
+    pallas_rewards = np.asarray(beergame_episode_pallas(
+        dem2, actions, inv0, delay=0, init_delay=2, interpret=True))
+    np.testing.assert_array_equal(pallas_rewards, np.stack(scan_rewards))

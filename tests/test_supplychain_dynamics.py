@@ -173,3 +173,25 @@ def test_build_info_simpleenv():
 
 def test_build_info_stocleadtimes():
     check_build_info(_stoc_env(build_info=True))
+
+
+def test_const_leadtime_exceeding_max_leadtime():
+    """Constant mode ships at t+avg_leadtime even when avg > max_leadtime
+    (the reference's heaps accept any arrival time; max_leadtime only clips
+    stochastic draws).  Dynamics must be identical to avg == max."""
+    def run(max_lt):
+        env = SupplyChainEnv(
+            simple_chain(initial_stock=10, stock_capacity=100,
+                                supply_capacity=50, processing_capacity=100,
+                                ship_capacity=100),
+            demand_range=(0, 5), processing_ratio=2, total_time_steps=8,
+            avg_leadtime=3, max_leadtime=max_lt)
+        env.seed(0)
+        env.reset()
+        rewards = []
+        for t in range(8):
+            _, r, _, _ = env.step(np.ones(env.cc.A))
+            rewards.append(r)
+        return np.asarray(rewards)
+
+    np.testing.assert_allclose(run(2), run(3))

@@ -63,3 +63,12 @@ def test_action_tail_ignored():
     env.reset()
     _, r1, _, _ = env.step(np.zeros(env.cc.A + 5))
     assert np.isfinite(r1)
+
+
+def test_processing_capacity_without_cost_raises():
+    """processing_capacity > 0 with processing_cost == 0 zeroes the ratio
+    (supplychain_env.py:518-522) and makes the reference divide shipments by
+    zero (:310); here it must fail loudly at compile time."""
+    with pytest.raises(ValueError):
+        SupplyChainEnv(_nodes(processing_capacity=100), demand_range=(0, 10),
+                       total_time_steps=5)

@@ -190,3 +190,63 @@ def test_supplychain_ppo_learns():
         hist.append(float(m["mean_reward"]))
     early, late = np.mean(hist[:10]), np.mean(hist[-10:])
     assert late > early * 0.85, f"no learning: {early:.0f} -> {late:.0f}"
+
+
+def test_vec_host_autoreset_continues_stream():
+    """At the lockstep episode boundary, host-mode lanes must play the NEXT
+    B episodes of the continuing MT19937 stream (SURVEY.md §2.1-9), not
+    device-drawn tables."""
+    from gym_supplychain_tpu import SupplyChainEnv
+    T, B, EPS = 4, 2, 2
+    env = SupplyChainEnv(simple_chain(initial_stock=10, stock_capacity=100,
+                                      supply_capacity=50, processing_capacity=100,
+                                      ship_capacity=100),
+                         demand_range=(0, 5), processing_ratio=2,
+                         total_time_steps=T)
+    env.seed(7)
+    actions = 2 * np.linspace(0, 1, T * env.cc.A).reshape(T, env.cc.A) - 1
+    single = np.zeros((EPS * B, T))
+    for ep in range(EPS * B):
+        env.reset()
+        for t in range(T):
+            _, r, _, _ = env.step(actions[t])
+            single[ep, t] = r
+
+    vec = VecSupplyChainEnv(cc=_cc(T), batch_size=B, rng_mode="host", seed=7,
+                            dtype=jnp.float64)
+    vec.reset()
+    got = np.zeros((EPS, B, T))
+    for block in range(EPS):
+        for t in range(T):
+            a = jnp.asarray(np.repeat(actions[t][:, None], B, axis=1))
+            out = vec.step(a)     # auto-resets at t == T-1 with host tables
+            got[block, :, t] = np.asarray(out.reward)
+    assert np.allclose(got.reshape(EPS * B, T), single)
+
+
+def test_vec_device_reset_advances_stream():
+    """Consecutive reset() calls in device mode must play fresh episodes."""
+    vec = VecSupplyChainEnv(cc=_cc(6), batch_size=4, rng_mode="device", seed=0)
+    vec.reset()
+    d1 = np.asarray(vec.state.env.demands)
+    vec.reset()
+    d2 = np.asarray(vec.state.env.demands)
+    assert not np.array_equal(d1, d2)
+
+
+def test_beergame_train_state_shardings():
+    """train_state_shardings must handle the beer game trainer, whose env
+    state is a bare BeerGameState (no VecState wrapper)."""
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_beergame_ppo
+    from gym_supplychain_tpu.parallel.mesh import (make_mesh,
+                                                   train_state_shardings)
+    mesh = make_mesh(data=8)
+    cfg = PPOConfig(rollout_steps=2, epochs=1, hidden=(16, 16))
+    init_fn, train_step = make_beergame_ppo(16, cfg, weeks=8)
+    key = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(init_fn, key)
+    sh = train_state_shardings(mesh, shapes)
+    state = jax.jit(init_fn, out_shardings=sh)(key)
+    state, metrics = jax.jit(train_step)(state)
+    jax.block_until_ready(metrics)
+    assert np.isfinite(float(metrics["loss"]))
