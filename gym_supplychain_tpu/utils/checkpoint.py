@@ -38,9 +38,19 @@ def save_checkpoint(path: str, state: Any, step: int = 0) -> str:
 def restore_checkpoint(path: str, like: Any = None) -> Any:
     """Restore a checkpoint written by ``save_checkpoint``.
 
+    ``path`` may be a ``step_N``(.pkl) target or the checkpoint directory
+    itself, in which case the highest-numbered step is restored.
     ``like`` (an example pytree) guides structure/dtype restoration for the
     orbax path; the pickle fallback restores exactly what was saved.
     """
+    base = os.path.basename(path.rstrip("/"))
+    if os.path.isdir(path) and not base.startswith("step_"):
+        steps = [e for e in os.listdir(path) if e.startswith("step_")]
+        if not steps:
+            raise FileNotFoundError(f"no step_* checkpoints under {path}")
+        latest = max(steps,
+                     key=lambda e: int(e[len("step_"):].split(".")[0]))
+        path = os.path.join(path, latest)
     if path.endswith(".pkl"):
         with open(path, "rb") as fh:
             blob = pickle.load(fh)

@@ -22,6 +22,10 @@ def test_checkpoint_roundtrip_exact(tmp_path):
 
     path = save_checkpoint(str(tmp_path / "ckpt"), state, step=1)
     restored = restore_checkpoint(path, like=state)
+    # passing the checkpoint DIRECTORY resolves the latest step_N
+    from_dir = restore_checkpoint(str(tmp_path / "ckpt"), like=state)
+    for a, b in zip(jax.tree.leaves(from_dir), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     # exact resume: every leaf bitwise equal, and training continues
     # identically from the restored state
