@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_supplychain(cc, B, steps, repeats=5, episodes=8):
+def bench_supplychain(cc, B, steps, repeats=7, episodes=16):
     """Continuous rollout: ``episodes`` back-to-back auto-reset episodes per
     jitted call, amortizing the fixed per-dispatch latency exactly as a real
     training loop does (PPO collects many steps per dispatch)."""
@@ -52,7 +52,7 @@ def bench_supplychain(cc, B, steps, repeats=5, episodes=8):
     return B * steps / best
 
 
-def bench_beergame(B, weeks=35, repeats=5, episodes=80):
+def bench_beergame(B, weeks=35, repeats=7, episodes=160):
     """Continuous rollout with auto-reset: ``episodes`` back-to-back
     35-week episodes per jitted call (episodes are short, so the fixed
     dispatch latency would otherwise dominate entirely)."""
