@@ -61,7 +61,7 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
-    if n_dev > 1 and not args.env.startswith("beergame"):
+    if n_dev > 1:
         # global shardings at creation time: required for multi-process
         # (multi-host) runs, where arrays built outside jit are committed to
         # process-local devices
