@@ -48,15 +48,23 @@ _CK = {k: i for i, k in enumerate(COST_KEYS)}
 
 
 class EnvState(NamedTuple):
-    """Per-episode device state (a flat pytree; batch is the trailing axis)."""
+    """Per-episode device state (a flat pytree; batch is the trailing axis).
+
+    Two RNG layouts share this container: table mode (parity/host streams)
+    carries the whole-episode ``demands [T+1,R,P,B]`` / ``leadtimes [T,K,B]``
+    tables and ``ep_key`` is None; stateless mode (the fast TPU path) carries
+    only the CURRENT demand row ``demands [R,P,B]`` plus the episode PRNG key,
+    and every step's rows are drawn counter-based from ``fold_in(ep_key, t)``.
+    """
     t: jnp.ndarray           # scalar int32, current time step
     stock: jnp.ndarray       # [N, P, B]
     pipe: jnp.ndarray        # [H, N, P, B]; pipe[j] arrives at t+1+j
-    demands: jnp.ndarray     # [T+1, R, P, B]
-    leadtimes: Optional[jnp.ndarray]  # [T, K, B] int32, or None (constant mode)
+    demands: jnp.ndarray     # [T+1, R, P, B] table, or [R, P, B] current row
+    leadtimes: Optional[jnp.ndarray]  # [T, K, B] int32, or None
     ep_reward: jnp.ndarray   # [B]
     ep_costs: jnp.ndarray    # [8, P, B] accumulated cost per category
     ep_units: jnp.ndarray    # [8, P, B] accumulated units per category
+    ep_key: Optional[jnp.ndarray] = None  # episode PRNG key (stateless mode)
 
 
 class StepOutput(NamedTuple):
@@ -74,11 +82,16 @@ class StepOutput(NamedTuple):
 
 
 def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
-                             debug: bool = False):
+                             debug: bool = False,
+                             stateless_rng: bool = False):
     """Build (reset_fn, step_fn, obs_fn) closures over a compiled chain.
 
-    ``reset_fn(demands, leadtimes, B)`` takes per-episode tables (host- or
-    device-generated) and returns a fresh ``EnvState``.
+    Table mode (default): ``reset_fn(demands, leadtimes, B)`` takes
+    per-episode tables (host- or device-generated).
+    Stateless mode (``stateless_rng=True``): ``reset_fn(key, B)`` takes an
+    episode PRNG key and every step draws its demand/lead-time rows
+    counter-based on device (see ``EnvState`` docstring; distribution parity
+    with the reference, not stream parity).
     ``step_fn(state, action)`` takes ``action[A, B]`` in [-1, 1].
     """
     # Constants are kept as NumPy arrays so jit lowering embeds them directly
@@ -111,25 +124,38 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
     ship_act_idx = np.maximum(cc.ship_act_idx, 0)
     lt_base = np.asarray(cc.lt_base, np.int32)
 
-    # flat edge list for scatter of shipments into destination pipelines
+    # flat edge list for delivery of shipments into destination pipelines
     e_src, e_di = np.nonzero(cc.edge_mask)
     e_dst = np.asarray(cc.edge_dst[e_src, e_di], np.int32)
     e_src = np.asarray(e_src, np.int32)
     e_di = np.asarray(e_di, np.int32)
+    # one-hot destination matrix [N, E] (static) for gather-free delivery
+    oh_dst = np.zeros((N, len(e_dst)), np_dtype)
+    oh_dst[e_dst, np.arange(len(e_dst))] = 1
 
     def _gather_lt(lt_row, idx):
-        """lt_row[K, B], idx[..., B] -> lead-times[..., B] (per-env gather)."""
-        B = lt_row.shape[-1]
-        flat = jnp.clip(idx, 0, K - 1).reshape(-1, B)
-        out = jnp.take_along_axis(lt_row, flat, axis=0)
-        return out.reshape(idx.shape)
+        """lt_row[K, B], idx[..., B] -> lead-times[..., B].
+
+        One-hot select instead of ``take_along_axis``: per-lane dynamic
+        gathers cost ~250 us per scan iteration on TPU at B=4096 while K
+        masked selects cost well under 1 us each (measured; the same applies
+        to argsort+take, which is why the sorted-cut below is gather-free).
+        """
+        idxc = jnp.clip(idx, 0, K - 1)
+        out = jnp.zeros(idx.shape, lt_row.dtype)
+        for k in range(K):
+            out = jnp.where(idxc == k, lt_row[k], out)
+        return out
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
         """Observation (supplychain_env.py:762-791 + SC_Node.build_observation
         :428-463), computed densely from the time-indexed pipeline."""
         B = state.stock.shape[-1]
-        dem_row = jax.lax.dynamic_index_in_dim(state.demands, state.t, 0,
-                                               keepdims=False)  # [R,P,B]
+        if stateless_rng:
+            dem_row = state.demands                            # current row
+        else:
+            dem_row = jax.lax.dynamic_index_in_dim(state.demands, state.t, 0,
+                                                   keepdims=False)  # [R,P,B]
         dem_obs = ((dem_row - dem_min[None, :, None])
                    / dem_rangev[None, :, None]).reshape(R * P, B)
 
@@ -156,6 +182,18 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             [dem_obs, node_obs.reshape(N * P * (1 + Lavg), B), remaining], axis=0)
         return jnp.clip(2.0 * obs - 1.0, -1.0, 1.0)
 
+    def _blank_state(demands, leadtimes, B, ep_key=None) -> EnvState:
+        return EnvState(
+            t=jnp.zeros((), jnp.int32),
+            stock=jnp.broadcast_to(f(cc.initial_stock)[:, :, None], (N, P, B)).copy(),
+            pipe=jnp.broadcast_to(f(cc.init_pipe)[:, :, :, None], (H, N, P, B)).copy(),
+            demands=demands, leadtimes=leadtimes,
+            ep_reward=jnp.zeros((B,), dtype),
+            ep_costs=jnp.zeros((8, P, B), dtype),
+            ep_units=jnp.zeros((8, P, B), dtype),
+            ep_key=ep_key,
+        )
+
     def reset_fn(demands, leadtimes, B: int) -> EnvState:
         """Fresh state from per-episode tables (reference reset, :630-682)."""
         demands = jnp.asarray(demands, dtype)
@@ -167,15 +205,14 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                 leadtimes = jnp.broadcast_to(leadtimes[..., None], (T, K, B))
         else:
             leadtimes = None
-        return EnvState(
-            t=jnp.zeros((), jnp.int32),
-            stock=jnp.broadcast_to(f(cc.initial_stock)[:, :, None], (N, P, B)).copy(),
-            pipe=jnp.broadcast_to(f(cc.init_pipe)[:, :, :, None], (H, N, P, B)).copy(),
-            demands=demands, leadtimes=leadtimes,
-            ep_reward=jnp.zeros((B,), dtype),
-            ep_costs=jnp.zeros((8, P, B), dtype),
-            ep_units=jnp.zeros((8, P, B), dtype),
-        )
+        return _blank_state(demands, leadtimes, B)
+
+    def reset_fn_stateless(key, B: int) -> EnvState:
+        """Fresh state from an episode PRNG key; demand row 0 drawn now,
+        later rows drawn per step from ``fold_in(key, t)``."""
+        from ..rng.device import stateless_step_rows
+        dem0, _ = stateless_step_rows(key, 0, cc, B, dtype)
+        return _blank_state(dem0, None, B, ep_key=key)
 
     def step_fn(state: EnvState, action: jnp.ndarray):
         B = action.shape[-1]
@@ -191,6 +228,14 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             else jnp.dtype(dtype)
         a = ((action.astype(adt) + 1) * jnp.asarray(0.5, adt)).astype(adt)
         t = state.t + 1
+        if stateless_rng:
+            # all of this step's stochastic inputs from one fused draw:
+            # the demand row for period t (shown by this step's obs; the row
+            # consumed below is carried in state.demands) and the lead-time
+            # row for this step
+            from ..rng.device import stateless_step_rows
+            dem_next, lt_row_sl = stateless_step_rows(
+                state.ep_key, t, cc, B, dtype)
 
         zero_a = jnp.zeros((), adt)
         a_sup = jnp.where(has_supply[:, :, None],
@@ -227,8 +272,11 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                            * supply_cost.astype(adt)[:, :, None]).astype(dtype).sum(0)
         units["supply"] = sup_amt.sum(0)
         if cc.stochastic_leadtimes:
-            lt_row = jax.lax.dynamic_index_in_dim(state.leadtimes, t - 1, 0,
-                                                  keepdims=False)    # [K,B]
+            if stateless_rng:
+                lt_row = lt_row_sl                                   # [K,B]
+            else:
+                lt_row = jax.lax.dynamic_index_in_dim(
+                    state.leadtimes, t - 1, 0, keepdims=False)       # [K,B]
             # supply lead-time column = base + #earlier fired supplies
             # (index advances only when supplied amount > 0, :252-254)
             rank = jnp.cumsum(fired, axis=1) - fired.astype(jnp.int32)
@@ -256,40 +304,60 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         ship_scope = jax.named_scope("ship"); ship_scope.__enter__()
         avail_proc = jnp.broadcast_to(proc_cap[:, None], (N, B))
         avail_ship = jnp.broadcast_to(ship_cap_edge[:, :, None], (N, Dmax, B))
+
+        # sorted-cut allocation (SC_Action.apply SHIP, :58-96), gather-free
+        # and vectorized over all products at once.  The reference sorts the
+        # action values ascending (stable => ties by destination index, like
+        # Python's tuple sort) and takes consecutive differences as fractions
+        # of the available stock, clamping cumulatively.  argsort +
+        # take_along_axis costs ~400 us per scan iteration on TPU at B=4096
+        # (per-lane gathers), so instead compute for every destination i:
+        #   w_i   = value of its predecessor in the stable ascending sort
+        #           (the identical float the sorted-diff would subtract)
+        #   rank_i= its position in that sort
+        # via Dmax masked passes, then run the reference's sequential clamp
+        # over sorted POSITIONS with one-hot selection — the same FP ops in
+        # the same order, so results are bit-exact vs the sorted loop.
+        v = a_shp                                          # [N,P,Dmax,B]
+        w = jnp.full(v.shape, -jnp.inf, adt)
+        rank = jnp.zeros(v.shape, jnp.int32)
+        didx = np.arange(Dmax)[None, None, :, None]
+        for j in range(Dmax):
+            vj = v[:, :, j:j + 1, :]
+            before = (vj < v) | ((vj == v) & (j < didx))
+            w = jnp.maximum(w, jnp.where(before, vj, -jnp.inf))
+            rank = rank + before
+        # the predecessor of the first sorted element is literally 0
+        # (reference prepends a zero before differencing, :78-84)
+        w = jnp.where(rank == 0, jnp.zeros((), adt), w)
+        # the cut difference is computed on the raw action dtype
+        # (reference :83-84 subtracts two float32 action values).  When
+        # the stock sits exactly at capacity, the reference's
+        # min(capacity, stock) returns the Python int capacity and the
+        # product stays in the action dtype; otherwise the float64 stock
+        # promotes it (:62-64, :84).
+        vdiff = v - w                                      # adt
+        cut_f64 = vdiff.astype(dtype) * stock[:, :, None, :]
+        at_cap = (stock == stock_cap[:, :, None])[:, :, None, :]
+        cut_raw = (vdiff * stock.astype(adt)[:, :, None, :]).astype(dtype)
+        cut = jnp.where(at_cap, cut_raw, cut_f64)
+        availr = stock                                     # [N,P,B]
+        amounts_all = jnp.zeros(cut.shape, dtype)
+        for k in range(Dmax):
+            sel = rank == k
+            cut_k = jnp.where(sel, cut, 0.0).sum(axis=2)   # [N,P,B]
+            amt_k = jnp.minimum(cut_k, availr)
+            availr = availr - amt_k
+            amounts_all = amounts_all + jnp.where(
+                sel, amt_k[:, :, None, :], 0.0)
+        amounts_all = jnp.where(edge_mask[:, None, :, None], amounts_all, 0.0)
+
         new_stock_cols = []
         ship_pushes = []
         lt_e = lt_shp[e_src, e_di]                                   # [E,B]
         for p in range(P):
             avail_mat = stock[:, p]                                  # [N,B]
-            v = a_shp[:, p]                                          # [N,Dmax,B]
-            # sorted-cut allocation (SC_Action.apply SHIP, :58-96): sort the
-            # action values ascending (stable => ties by destination index,
-            # like Python's tuple sort), take consecutive differences as
-            # fractions of the available stock, clamp cumulatively.
-            order = jnp.argsort(v, axis=1, stable=True)
-            v_sorted = jnp.take_along_axis(v, order, axis=1)
-            prev = jnp.concatenate([jnp.zeros_like(v_sorted[:, :1]),
-                                    v_sorted[:, :-1]], axis=1)
-            # the cut difference is computed on the raw action dtype
-            # (reference :83-84 subtracts two float32 action values).  When
-            # the stock sits exactly at capacity, the reference's
-            # min(capacity, stock) returns the Python int capacity and the
-            # product stays in the action dtype; otherwise the float64 stock
-            # promotes it (:62-64, :84).
-            vdiff = v_sorted - prev                                  # adt
-            cut_f64 = vdiff.astype(dtype) * avail_mat[:, None, :]
-            at_cap = (avail_mat == stock_cap[:, p, None])[:, None, :]
-            cut_raw = (vdiff * avail_mat.astype(adt)[:, None, :]).astype(dtype)
-            cut = jnp.where(at_cap, cut_raw, cut_f64)
-            availr = avail_mat
-            amts = []
-            for k in range(Dmax):
-                amt = jnp.minimum(cut[:, k], availr)
-                amts.append(amt)
-                availr = availr - amt
-            inv = jnp.argsort(order, axis=1)
-            amounts = jnp.take_along_axis(jnp.stack(amts, axis=1), inv, axis=1)
-            amounts = jnp.where(edge_mask[:, :, None], amounts, 0.0)
+            amounts = amounts_all[:, p]                              # [N,Dmax,B]
 
             # processing-capacity clip, sequential over destinations
             # (:298-310); decrement gated on the ORIGINAL amount > 0 and by
@@ -345,25 +413,35 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                 (a2c * ship_cost[:, p, :, None]).sum(axis=(0, 1)))
             units["ship"] = units["ship"].at[p].add(a2c.sum(axis=(0, 1)))
 
-            # deliver into destination pipelines (push only if > 0, :343-348)
+            # deliver into destination pipelines (push only if > 0, :343-348).
+            # One-hot contraction over the (static) edge->destination matrix
+            # instead of scatter-adds: Lmax scatters cost ~10 us per scan
+            # iteration at B=4096, the einsum ~2 us, and summing incoming
+            # edges in edge-index order matches the scatter order.
             contrib_e = a2c[e_src, e_di]                             # [E,B]
             if debug:
                 ship_pushes.append(contrib_e)
             if cc.stochastic_leadtimes:
                 lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
-                for L in range(1, Lmax + 1):
-                    pipe = pipe.at[L - 1, e_dst, p].add(
-                        jnp.where(lt_ok == L, contrib_e, 0.0))
+                masked = jnp.where(
+                    lt_ok[None] == np.arange(1, Lmax + 1)[:, None, None],
+                    contrib_e[None], 0.0)                            # [Lmax,E,B]
+                add_l = jnp.einsum('ne,leb->lnb', oh_dst, masked)
+                pipe = pipe.at[:Lmax, :, p, :].add(add_l)
             else:
-                pipe = pipe.at[Lavg - 1, e_dst, p].add(
-                    jnp.where(contrib_e > 0, contrib_e, 0.0))
+                add0 = jnp.einsum('ne,eb->nb', oh_dst,
+                                  jnp.where(contrib_e > 0, contrib_e, 0.0))
+                pipe = pipe.at[Lavg - 1, :, p, :].add(add0)
 
         stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
 
         ship_scope.__exit__(None, None, None)
         # --- phase 5: retailer demand fulfillment (:378-387) --------------
-        dem_row = jax.lax.dynamic_index_in_dim(state.demands, t - 1, 0,
-                                               keepdims=False)       # [R,P,B]
+        if stateless_rng:
+            dem_row = state.demands          # the row this step's obs showed
+        else:
+            dem_row = jax.lax.dynamic_index_in_dim(state.demands, t - 1, 0,
+                                                   keepdims=False)   # [R,P,B]
         r_stock = stock[retailer_idx]
         fulfilled = jnp.minimum(r_stock, dem_row)
         stock = stock.at[retailer_idx].add(-fulfilled)
@@ -379,12 +457,14 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         unit_mat = jnp.stack([units[k] for k in COST_KEYS])
         reward = -cost_mat.sum(axis=(0, 1))                          # [B]
 
+        new_demands = dem_next if stateless_rng else state.demands
         new_state = EnvState(
-            t=t, stock=stock, pipe=pipe, demands=state.demands,
+            t=t, stock=stock, pipe=pipe, demands=new_demands,
             leadtimes=state.leadtimes,
             ep_reward=state.ep_reward + reward,
             ep_costs=state.ep_costs + cost_mat,
             ep_units=state.ep_units + unit_mat,
+            ep_key=state.ep_key,
         )
         obs = obs_fn(new_state)
         done = t == T
@@ -397,4 +477,4 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                                ship_lt=lt_e)
         return new_state, out
 
-    return reset_fn, step_fn, obs_fn
+    return (reset_fn_stateless if stateless_rng else reset_fn), step_fn, obs_fn

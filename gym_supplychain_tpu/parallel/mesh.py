@@ -81,15 +81,24 @@ def train_state_shardings(mesh: Mesh, shapes, hidden_axis: Optional[str] = None)
         params_sh = param_shardings(shapes.params, mesh, hidden_axis)
     else:
         params_sh = jax.tree.map(repl, shapes.params)
+    def env_tree(es):
+        sh = jax.tree.map(trailing, es)
+        # EnvState in stateless-RNG mode carries the episode PRNG key —
+        # replicate it (every shard draws the same stream; lane independence
+        # comes from the draw's batch axis, which IS sharded)
+        if hasattr(es, "_fields") and "ep_key" in es._fields \
+                and es.ep_key is not None:
+            sh = sh._replace(ep_key=repl())
+        return sh
+
     env_shapes = shapes.env
     if hasattr(env_shapes, "_fields") and \
             {"key", "env"} <= set(env_shapes._fields):
         # VecState: replicate its PRNG key, shard the inner EnvState
-        env_sh = env_shapes._replace(
-            key=repl(), env=jax.tree.map(trailing, env_shapes.env))
+        env_sh = env_shapes._replace(key=repl(), env=env_tree(env_shapes.env))
     else:
         # bare env state (e.g. BeerGameState): all arrays batch-trailing
-        env_sh = jax.tree.map(trailing, env_shapes)
+        env_sh = env_tree(env_shapes)
     return shapes._replace(
         params=params_sh,
         opt_state=jax.tree.map(repl, shapes.opt_state),
