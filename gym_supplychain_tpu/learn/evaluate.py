@@ -64,12 +64,11 @@ def main(argv=None):
     from gym_supplychain_tpu.utils.checkpoint import restore_checkpoint
 
     cc = sct.make(args.env, total_time_steps=args.horizon).cc
+    # the checkpoint format is self-describing (utils/checkpoint.py): the
+    # state pytree is a TrainState (pickle backend) or a dict with the same
+    # field names (orbax backend without a template)
     state = restore_checkpoint(args.restore)
-    params = state.params if hasattr(state, "params") else state["params"] \
-        if isinstance(state, dict) and "params" in state else state
-    # pickle fallback restores a plain tuple (TrainState fields in order)
-    if isinstance(params, (tuple, list)) and isinstance(params[0], dict):
-        params = params[0]
+    params = state.params if hasattr(state, "params") else state["params"]
     evaluate = jax.jit(make_evaluator(cc, args.envs),
                        static_argnames="episodes")
     stats = evaluate(params, jax.random.PRNGKey(args.seed), args.episodes)

@@ -51,12 +51,47 @@ def main():
                    out_shardings=(out_shardings,
                                   {"loss": repl, "mean_reward": repl,
                                    "mean_value": repl}))
-    for _ in range(3):
-        state, metrics = step(state)
-    loss = float(metrics["loss"])
-    reward = float(metrics["mean_reward"])
-    assert np.isfinite(loss) and np.isfinite(reward)
-    print(f"RANK{rank} loss={loss!r} mean_reward={reward!r}", flush=True)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "train"
+    if mode == "train":
+        for _ in range(3):
+            state, metrics = step(state)
+        loss = float(metrics["loss"])
+        reward = float(metrics["mean_reward"])
+        assert np.isfinite(loss) and np.isfinite(reward)
+        print(f"RANK{rank} loss={loss!r} mean_reward={reward!r}", flush=True)
+        return
+
+    # mode == "ckpt": multi-host checkpoint/resume (round-1 VERDICT item 3).
+    # Train 2 iters, save the GLOBALLY-SHARDED state collectively, train 1
+    # more -> reference metrics.  Then restore into a template with the same
+    # global shardings and re-run that iteration -> must be bitwise equal.
+    assert mode == "ckpt"
+    ckdir = sys.argv[4]
+    from gym_supplychain_tpu.utils.checkpoint import (restore_checkpoint,
+                                                      save_checkpoint)
+    for _ in range(2):
+        state, _ = step(state)
+    path = save_checkpoint(ckdir, state, step=2)
+    state_direct, metrics_direct = step(state)
+    loss_direct = float(metrics_direct["loss"])
+
+    template = jax.jit(init_fn, out_shardings=out_shardings)(
+        jax.random.PRNGKey(1))
+    restored = restore_checkpoint(path, like=template)
+    # the restored state must carry the SAME global shardings as the live one
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+    state_resumed, metrics_resumed = step(restored)
+    loss_resumed = float(metrics_resumed["loss"])
+    for a, b in zip(jax.tree.leaves(state_resumed),
+                    jax.tree.leaves(state_direct)):
+        # compare this process's addressable shards (the full array is not
+        # addressable from one process)
+        for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+            np.testing.assert_array_equal(np.asarray(sa.data),
+                                          np.asarray(sb.data))
+    print(f"RANK{rank} direct={loss_direct!r} resumed={loss_resumed!r} "
+          f"equal={loss_direct == loss_resumed}", flush=True)
 
 
 if __name__ == "__main__":

@@ -43,3 +43,35 @@ def test_two_process_sharded_training():
     assert [r for r, _ in losses] == ["0", "1"]
     # replicated metrics must be bitwise identical across processes
     assert losses[0][1] == losses[1][1]
+
+
+@pytest.mark.skipif(os.environ.get("GST_NO_SUBPROC") == "1",
+                    reason="subprocess tests disabled")
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host checkpoint/resume (round-1 VERDICT item 3): a 2-process
+    run saves its globally-sharded TrainState, restores it into a fresh
+    template, and the resumed train iteration must be bitwise identical to
+    the uninterrupted one on every shard of every leaf."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    ckdir = str(tmp_path / "mh_ckpt")
+    procs = [subprocess.Popen(
+                 [sys.executable, _WORKER, str(r), str(port), "ckpt", ckdir],
+                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                 text=True, env=env)
+             for r in range(2)]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-2000:]}"
+        outs.append(out)
+    rows = sorted(
+        re.search(r"RANK(\d) direct=([-\d.e]+) resumed=([-\d.e]+) "
+                  r"equal=(\w+)", o).groups()
+        for o in outs)
+    assert [r[0] for r in rows] == ["0", "1"]
+    for _, direct, resumed, equal in rows:
+        assert equal == "True" and direct == resumed
+    # both ranks saw the same replicated loss
+    assert rows[0][1] == rows[1][1]
