@@ -418,6 +418,10 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             # instead of scatter-adds: Lmax scatters cost ~10 us per scan
             # iteration at B=4096, the einsum ~2 us, and summing incoming
             # edges in edge-index order matches the scatter order.
+            # precision=HIGHEST is LOAD-BEARING: the default TPU matmul
+            # precision multiplies in bf16, which silently truncates shipped
+            # amounts (e.g. 8.203125 -> 8.1875) and breaks reference parity
+            # on real hardware even though CPU tests pass.
             contrib_e = a2c[e_src, e_di]                             # [E,B]
             if debug:
                 ship_pushes.append(contrib_e)
@@ -426,11 +430,13 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                 masked = jnp.where(
                     lt_ok[None] == np.arange(1, Lmax + 1)[:, None, None],
                     contrib_e[None], 0.0)                            # [Lmax,E,B]
-                add_l = jnp.einsum('ne,leb->lnb', oh_dst, masked)
+                add_l = jnp.einsum('ne,leb->lnb', oh_dst, masked,
+                                   precision=jax.lax.Precision.HIGHEST)
                 pipe = pipe.at[:Lmax, :, p, :].add(add_l)
             else:
                 add0 = jnp.einsum('ne,eb->nb', oh_dst,
-                                  jnp.where(contrib_e > 0, contrib_e, 0.0))
+                                  jnp.where(contrib_e > 0, contrib_e, 0.0),
+                                  precision=jax.lax.Precision.HIGHEST)
                 pipe = pipe.at[Lavg - 1, :, p, :].add(add0)
 
         stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
