@@ -117,29 +117,38 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 out = jnp.where(idxc == k, lt_row[k], out)
             return out
 
-        # --- episode init (reference reset, :630-682) --------------------
-        for n in range(N):
-            for p in range(P):
-                stock_ref[n, p] = jnp.full((B,), init_stock[n, p], f32)
-        for r in range(RING):
+        # one grid step per episode step: the big [T, ...] tables stay in
+        # HBM and pallas pipelines each step's block into VMEM, so VMEM use
+        # is O(state), not O(T * B) (a whole-episode ntom table set is
+        # ~100 MB at B=4096 — far past the scoped-VMEM limit)
+        ti = pl.program_id(0)
+
+        # --- episode init (reference reset, :630-682) on the first step ---
+        @pl.when(ti == 0)
+        def _init():
             for n in range(N):
                 for p in range(P):
-                    v = init_pipe[r - 1, n, p] if 1 <= r <= init_pipe.shape[0] \
-                        else 0.0
-                    # init_pipe[j] arrives at t=1+j -> ring slot 1+j
-                    ring_ref[r, n, p] = jnp.full((B,), v, f32)
-        if seeded:
-            pltpu.prng_seed(act_ref[0])
+                    stock_ref[n, p] = jnp.full((B,), init_stock[n, p], f32)
+            for r in range(RING):
+                for n in range(N):
+                    for p in range(P):
+                        v = init_pipe[r - 1, n, p] \
+                            if 1 <= r <= init_pipe.shape[0] else 0.0
+                        # init_pipe[j] arrives at t=1+j -> ring slot 1+j
+                        ring_ref[r, n, p] = jnp.full((B,), v, f32)
 
-        def step_body(ti, _):
+        if True:
             t = ti + 1
             slot = t % RING
             if seeded:
+                # distinct per-step stream from (seed, step): the PRNG state
+                # does not persist across grid steps
+                pltpu.prng_seed(act_ref[0], ti)
                 a = _uniform_pm1((A, B))
             else:
-                a = act_ref[ti]                                   # [A,B]
+                a = act_ref[0]                                    # [A,B]
             a = (a + 1.0) * 0.5
-            lt_row = lt_ref[ti] if stochastic else None           # [K,B]
+            lt_row = lt_ref[0] if stochastic else None            # [K,B]
 
             reward = jnp.zeros((B,), f32)
 
@@ -157,8 +166,12 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 stocks.append(cols)
             ring_ref[slot] = jnp.zeros((N, P, B), f32)
 
-            # pipeline pushes accumulate as {(arrival_delay, n, p): amount};
-            # written back with one dynamic ring write per (delay, n, p)
+            # SHIP pipeline pushes accumulate as {(arrival_delay, n, p):
+            # amount} in edge order and are written back with one ring add
+            # per (delay, n, p) at the end of the step — supply pushes go to
+            # the ring DIRECTLY first, mirroring the scan engine's separate
+            # phase-3 and phase-4 adds (bit-exact parity requires the same
+            # FP add association)
             upd = {}
 
             def push(L, n, p, amt):
@@ -180,10 +193,13 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                         lt = _gather_lt(lt_row, lt_base[n] + nf)
                         nf = nf + fired.astype(i32)
                         for L in range(1, Lmax + 1):
-                            push(L, n, p,
-                                 jnp.where(fired & (lt == L), amt, 0.0))
+                            s = (t + L) % RING
+                            ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
+                                fired & (lt == L), amt, 0.0)
                     else:
-                        push(Lavg, n, p, amt)
+                        s = (t + Lavg) % RING
+                        ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
+                            fired, amt, 0.0)
                 nf_node[n] = nf
 
             # phase 4: ship (:262-375) ------------------------------------
@@ -210,14 +226,20 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                     # sorted-cut (SC_Action.apply SHIP, :58-96): sort values
                     # ascending, ties by destination index; destination d's
                     # cut is the gap to its sort predecessor.  pred_d =
-                    # max{v_e : (v_e, e) <lex (v_d, d)} computed by an
-                    # unrolled pairwise max — no gather/sort primitive
-                    # needed.  In exact arithmetic the cumulative clamp
-                    # (:86-87) never binds (sum of cuts through rank k =
-                    # v_(k)·avail ≤ avail); the min guards float rounding.
-                    amounts = [None] * Dmax
+                    # max{v_e : (v_e, e) <lex (v_d, d)} and rank_d = |{e :
+                    # (v_e, e) <lex (v_d, d)}| by unrolled pairwise passes,
+                    # then the reference's SEQUENTIAL cumulative clamp over
+                    # sorted positions (:86-87) with one-hot selection —
+                    # the identical FP ops in the identical order as
+                    # core/step.py, so results are bit-exact vs the scan
+                    # engine (the clamp binds only on float rounding, but a
+                    # single-ULP `amounts` difference flips the branchy
+                    # capacity bookkeeping downstream, so op order matters)
+                    cuts = [None] * Dmax
+                    ranks = [None] * Dmax
                     for d in range(Dmax):
                         pred = jnp.zeros((B,), f32)
+                        rank = jnp.zeros((B,), i32)
                         for e in range(Dmax):
                             if e == d:
                                 continue
@@ -226,10 +248,21 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                             pred = jnp.where(before,
                                              jnp.maximum(pred, dvals[e]),
                                              pred)
-                        cut = (dvals[d] - pred) * avail_mat
-                        amt = jnp.minimum(
-                            cut, jnp.maximum((1.0 - pred) * avail_mat, 0.0))
-                        amounts[d] = jnp.maximum(amt, 0.0)
+                            rank = rank + before.astype(i32)
+                        cuts[d] = (dvals[d] - pred) * avail_mat
+                        ranks[d] = rank
+                    availr = avail_mat
+                    amounts = [jnp.zeros((B,), f32) for _ in range(Dmax)]
+                    for k in range(Dmax):
+                        cut_k = jnp.zeros((B,), f32)
+                        for d in range(Dmax):
+                            cut_k = cut_k + jnp.where(ranks[d] == k,
+                                                      cuts[d], 0.0)
+                        amt_k = jnp.minimum(cut_k, availr)
+                        availr = availr - amt_k
+                        for d in range(Dmax):
+                            amounts[d] = amounts[d] + jnp.where(
+                                ranks[d] == k, amt_k, 0.0)
 
                     # processing clip (factories, :298-310)
                     if is_factory[n]:
@@ -283,7 +316,7 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                         reward = reward - leaving * proc_cost[n, p]
 
             # phase 5: retailer demand (:378-387) -------------------------
-            dem_row = demand_ref[ti]                              # [R,P,B]
+            dem_row = demand_ref[0]                               # [R,P,B]
             for ri, n in enumerate(retailer_idx):
                 for p in range(P):
                     d = dem_row[ri, p]
@@ -301,30 +334,34 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 s = (t + L) % RING
                 ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
-            reward_ref[ti] = reward
-            return 0
-
-        jax.lax.fori_loop(0, T, step_body, 0)
+            reward_ref[0, 0] = reward
 
     def _build(seeded):
         kernel = functools.partial(_kernel, seeded=seeded)
+        # grid over episode steps; per-step rows of the HBM-resident tables
+        # are pipelined into VMEM as (1, ...) blocks
         act_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if seeded
-                    else pl.BlockSpec(memory_space=pltpu.VMEM))
-        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    else pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)))
+        in_specs = [pl.BlockSpec((1, R, P, B), lambda t: (t, 0, 0, 0))]
         if stochastic:
-            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec((1, K, B), lambda t: (t, 0, 0)))
         in_specs.append(act_spec)
-        return pl.pallas_call(
+        # rewards carry a singleton middle axis (squeezed by the wrappers):
+        # TPU lowering requires a block's last two dims to divide (8, 128)
+        # or equal the array's, and a (1, B) block over [T, B] does neither
+        call = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((T, B), f32),
+            grid=(T,),
+            out_shape=jax.ShapeDtypeStruct((T, 1, B), f32),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((N, P, B), f32),          # stock
                 pltpu.VMEM((RING, N, P, B), f32),    # pipeline ring
             ],
             interpret=interpret,
         )
+        return lambda *args: call(*args).squeeze(1)
 
     seeded_call = _build(True)
     actions_call = _build(False)
