@@ -21,11 +21,14 @@ import numpy as np
 
 
 def _time_fn(run, key_base, repeats):
-    import jax
+    # fetch the scalar result: under the tunneled 'axon' PJRT runtime
+    # block_until_ready returns before the device finishes (wall time stays
+    # ~0.07 ms whether the scan runs 1,440 or 11,520 steps — measured), so
+    # only a value fetch gives a real synchronization point
     times = []
     for r in range(repeats):
         t0 = time.perf_counter()
-        run(key_base + r).block_until_ready()
+        float(run(key_base + r))
         times.append(time.perf_counter() - t0)
     return times
 
@@ -55,7 +58,7 @@ def audit_supplychain(cc, B, steps_per_episode, episode_counts, repeats=11):
             return rews.sum()
 
         run = jax.jit(rollout)
-        run(0).block_until_ready()  # compile + warm
+        float(run(0))  # compile + warm + first (slow) fetch
         times = _time_fn(run, 100 * episodes, repeats)
         rows.append({
             "scan_steps": steps,

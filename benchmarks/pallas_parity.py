@@ -1,0 +1,201 @@
+"""Compiled-TPU Pallas parity + timing artifact (round-1 VERDICT item 5).
+
+Runs the whole-episode Pallas kernels (ops/supplychain_pallas.py,
+ops/beergame_pallas.py) COMPILED on the current device, asserts their parity
+against the lax.scan step engine on identical on-device inputs, and times
+both with the honest post-fetch slope protocol (see bench.py docstring):
+per-episode time = slope of wall time over increasing episodes-per-dispatch
+counts (spread wide enough to clear the ~1 ms fetch noise).
+
+Invoked by ``GST_PALLAS=1 python bench.py`` (results land in the bench JSON)
+or standalone: ``python benchmarks/pallas_parity.py``.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+def _timed_fetch(fn, seed):
+    t0 = time.perf_counter()
+    float(fn(seed))
+    return time.perf_counter() - t0
+
+
+def _per_episode_ms(make_run, repeats, ep_counts):
+    """Marginal per-episode wall time (ms) via the episode-count slope.
+
+    ``ep_counts`` must spread the dispatch enough that the slope clears the
+    ~1 ms run-to-run noise of the tunneled fetch (a 0.05 ms episode needs
+    ~100 episodes of spread)."""
+    med = {}
+    for eps in ep_counts:
+        run = make_run(eps)
+        _timed_fetch(run, 0)                                 # compile + warm
+        med[eps] = float(np.median([_timed_fetch(run, r + 1)
+                                    for r in range(repeats)]))
+    e1, e3 = ep_counts[0], ep_counts[-1]
+    return (med[e3] - med[e1]) / (e3 - e1) * 1e3
+
+
+def _bench_supplychain(name, B, repeats):
+    import jax
+    import jax.numpy as jnp
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_episode_pallas)
+    from gym_supplychain_tpu.rng.device import (device_demand_tables,
+                                                device_leadtime_tables)
+
+    T = 360
+    cc = sct.make(name, total_time_steps=T).cc
+    _, run_actions = make_supplychain_episode_pallas(cc, T, B)
+    reset_fn, step_fn, _ = make_supplychain_kernels(cc)
+
+    def _episode_inputs(key):
+        """Per-episode tables + action table, generated ON DEVICE (multi-MB
+        jit arguments are re-shipped per call under the tunneled runtime)."""
+        kd, kl, ka = jax.random.split(key, 3)
+        demands = device_demand_tables(kd, cc, B)
+        leadtimes = (device_leadtime_tables(kl, cc, B)
+                     if cc.stochastic_leadtimes else None)
+        actions = jax.random.uniform(ka, (T, cc.A, B), jnp.float32, -1.0, 1.0)
+        return demands, leadtimes, actions
+
+    def _pallas_ep(demands, leadtimes, actions):
+        if cc.stochastic_leadtimes:
+            return run_actions(demands, leadtimes, actions)
+        return run_actions(demands, actions)
+
+    def _scan_ep(demands, leadtimes, actions):
+        st = reset_fn(demands, leadtimes, B)
+
+        def body(st, a):
+            st, out = step_fn(st, a)
+            return st, out.reward
+
+        _, rews = jax.lax.scan(body, st, actions)
+        return rews
+
+    def make_run(engine, eps):
+        ep = _pallas_ep if engine == "pallas" else _scan_ep
+
+        def fn(seed):
+            def body(acc, k):
+                return acc + ep(*_episode_inputs(k)).sum(), None
+
+            ks = jax.random.split(jax.random.PRNGKey(seed), eps)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ks)
+            return acc
+
+        return jax.jit(fn)
+
+    @jax.jit
+    def parity(seed):
+        demands, leadtimes, actions = _episode_inputs(
+            jax.random.PRNGKey(seed))
+        pal = _pallas_ep(demands, leadtimes, actions)
+        ref = _scan_ep(demands, leadtimes, actions)
+        return (jnp.abs(pal - ref).max(), jnp.abs(ref).max())
+
+    pal_ms = _per_episode_ms(lambda e: make_run("pallas", e), repeats,
+                             ep_counts=(2, 8, 32))
+    scan_ms = _per_episode_ms(lambda e: make_run("scan", e), repeats,
+                              ep_counts=(2, 8, 32))
+    # value fetch last (first fetch in a process degrades later dispatches)
+    err, scale = (float(x) for x in jax.device_get(parity(0)))
+    rel = err / scale if scale else 0.0
+    return {
+        "pallas_episode_ms": round(pal_ms, 4),
+        "scan_episode_ms": round(scan_ms, 4),
+        "pallas_steps_per_s": round(T * B / (pal_ms * 1e-3), 1),
+        "max_rel_err_vs_scan": float(f"{rel:.2e}"),
+        "parity_ok": bool(rel < 1e-5),
+    }
+
+
+def _bench_beergame(B, repeats):
+    import jax
+    import jax.numpy as jnp
+
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import beergame_episode_pallas
+
+    W, L = 35, 4
+    demand = np.array([4] * 4 + [8] * (W - 4), np.int32)
+    delays = np.full(W + 1, 2, np.int32)
+    reset_fn, step_fn, _ = make_beergame_kernels(L, W, 2, itype=jnp.int32)
+
+    def _actions(key):
+        return jax.random.randint(key, (W, L, B), 0, 16, jnp.int32)
+
+    def _pallas_ep(acts):
+        dem2 = jnp.broadcast_to(jnp.asarray(demand)[:, None], (W, B))
+        inv0 = jnp.full((L, B), 12, jnp.int32)
+        return beergame_episode_pallas(dem2, acts, inv0)
+
+    def _scan_ep(acts):
+        st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+
+        def body(st, a):
+            st, (_, r, _) = step_fn(st, a)
+            return st, r
+
+        _, rews = jax.lax.scan(body, st, acts)
+        return rews
+
+    def make_run(engine, eps):
+        ep = _pallas_ep if engine == "pallas" else _scan_ep
+
+        def fn(seed):
+            def body(acc, k):
+                return acc + ep(_actions(k)).sum().astype(jnp.float32), None
+
+            ks = jax.random.split(jax.random.PRNGKey(seed), eps)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ks)
+            return acc
+
+        return jax.jit(fn)
+
+    @jax.jit
+    def parity(seed):
+        acts = _actions(jax.random.PRNGKey(seed))
+        return jnp.array_equal(_pallas_ep(acts), _scan_ep(acts))
+
+    pal_ms = _per_episode_ms(lambda e: make_run("pallas", e), repeats,
+                             ep_counts=(8, 64, 256))
+    scan_ms = _per_episode_ms(lambda e: make_run("scan", e), repeats,
+                              ep_counts=(8, 64, 256))
+    equal = bool(jax.device_get(parity(0)))
+    return {
+        "pallas_episode_ms": round(pal_ms, 4),
+        "scan_episode_ms": round(scan_ms, 4),
+        "pallas_steps_per_s": round(W * B / (pal_ms * 1e-3), 1),
+        "bit_equal_vs_scan": equal,
+        "parity_ok": equal,
+    }
+
+
+def run_pallas_bench(B, repeats=5):
+    import jax
+    out = {"platform": jax.devices()[0].platform, "B": B,
+           "protocol": "per-episode ms = slope over episodes-per-dispatch, "
+                       f"median of {repeats} post-fetch timings"}
+    out["beergame-v0"] = _bench_beergame(B, repeats)
+    out["supplychain-linear-v0"] = _bench_supplychain(
+        "supplychain-linear-v0", B, repeats)
+    out["supplychain-ntom-v0"] = _bench_supplychain(
+        "supplychain-ntom-v0", B, repeats)
+    return out
+
+
+if __name__ == "__main__":
+    B = int(os.environ.get("GST_BENCH_ENVS", "4096"))
+    print(json.dumps(run_pallas_bench(B), indent=1))
