@@ -1,0 +1,191 @@
+"""Scripted base-stock baselines for the supply-chain family.
+
+The reference ships no policies at all (it was consumed by external
+stable-baselines loops, reference supplychain_env.py:794-795); a scripted
+order-up-to ("base-stock") policy is the standard OR baseline for this class
+of problem and is what the PPO learner has to beat to demonstrate learning
+quality (round-1 VERDICT item 4).
+
+The policy observes the true device state (stock + in-transit pipeline) —
+a strictly STRONGER oracle than the learned policy's normalized observation
+vector — and acts as follows, per node and product:
+
+* supply nodes order up to a target inventory position:
+  ``order = clip(target - (stock + in_transit), 0, supply_cap)``;
+* every node with destinations ships each destination the amount that would
+  restore the DESTINATION's inventory position to its target (factories
+  ship raw material scaled by their processing ratio), scaled down
+  proportionally when the requests exceed the node's stock.
+
+Desired per-destination fractions are encoded into the env's sorted-cut
+action convention (SURVEY.md §2.1-2) as cumulative sums over the destination
+axis: sorted consecutive differences then reproduce exactly the requested
+fractions, and the max value equals the total shipped fraction.
+
+Targets default to ``z * mean_demand * reachable_retailers * (Lavg + 1)``
+(times the processing ratio for factories, whose stock is raw material) —
+the classic lead-time-demand rule with a single tunable multiplier ``z``;
+``best_base_stock(...)`` grid-searches ``z``.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.compile import CompiledChain
+from ..envs.vector import make_vec_env
+
+__all__ = ["mean_demand", "default_base_stock_targets",
+           "make_base_stock_policy", "evaluate_state_policy",
+           "best_base_stock"]
+
+
+def mean_demand(cc: CompiledChain) -> np.ndarray:
+    """Expected per-retailer per-step demand [P] for each product's process
+    (uniform midpoint / normal midpoint / seasonal average base)."""
+    out = np.zeros(cc.P)
+    for p in range(cc.P):
+        cfg = cc.demand[p if cc.demand_by_product else 0]
+        if cfg.sen_peaks is None:
+            out[p] = (cfg.minv + cfg.maxv) / 2.0
+        else:
+            out[p] = (cfg.minavg + cfg.maxavg) / 2.0
+    return out
+
+
+def _reachable_retailers(cc: CompiledChain) -> np.ndarray:
+    """Number of DISTINCT retailers reachable from each node [N] (how much
+    demand a node's inventory ultimately serves).  Set-based: parallel paths
+    in a full-bipartite chain must not multiply the count."""
+    # reach[n] = bitmask over retailer set; iterate the DAG to a fixed point
+    # (nodes_info insertion order is not guaranteed topological)
+    ret_bit = {int(r): 1 << i for i, r in enumerate(np.asarray(cc.retailer_idx))}
+    reach = np.array([ret_bit.get(n, 0) for n in range(cc.N)], object)
+    for _ in range(cc.N):
+        nxt = reach.copy()
+        for n in range(cc.N):
+            if cc.is_retailer[n]:
+                continue
+            mask = 0
+            for d in range(cc.Dmax):
+                if cc.edge_mask[n, d]:
+                    mask |= reach[cc.edge_dst[n, d]]
+            nxt[n] = mask
+        if np.array_equal(nxt, reach):
+            break
+        reach = nxt
+    return np.array([bin(m).count("1") for m in reach], np.int64)
+
+
+def default_base_stock_targets(cc: CompiledChain, z: float = 1.0) -> np.ndarray:
+    """Order-up-to targets [N, P]: z * lead-time demand served by the node."""
+    md = mean_demand(cc)                                   # [P]
+    reach = _reachable_retailers(cc).astype(np.float64)    # [N]
+    targets = z * (cc.Lavg + 1) * reach[:, None] * md[None, :]
+    # factory stock is raw material: serving one unit of product consumes
+    # processing_ratio units of stock
+    targets = np.where(cc.is_factory[:, None], targets * cc.proc_ratio, targets)
+    # never target past the stock capacity (overflow is discarded AND
+    # penalized at exceeded_stock_capacity_cost per unit)
+    return np.minimum(targets, np.asarray(cc.stock_cap))
+
+
+def make_base_stock_policy(cc: CompiledChain, targets,
+                           dtype=jnp.float32) -> Callable:
+    """Returns ``policy(env_state) -> action [A, B]`` in [-1, 1].
+
+    ``targets [N, P]`` may be a NumPy constant or a traced array (the z
+    grid search sweeps targets through ONE compiled rollout)."""
+    supply_cap = np.asarray(cc.supply_cap)
+    safe_sup = np.where(supply_cap > 0, supply_cap, 1.0)
+    proc_ratio = np.asarray(cc.proc_ratio)
+    sup_rows, sup_prods = np.nonzero(np.asarray(cc.has_supply))
+    sup_idx = cc.sup_act_idx[sup_rows, sup_prods]
+    has_ship = np.asarray(cc.has_ship) & (~cc.is_retailer[:, None])
+    shp_n, shp_p, shp_d = np.nonzero(has_ship[:, :, None]
+                                     & cc.edge_mask[:, None, :])
+    shp_idx = cc.ship_act_idx[shp_n, shp_p, shp_d]
+
+    def policy(env_state) -> jnp.ndarray:
+        stock = env_state.stock                       # [N,P,B]
+        B = stock.shape[-1]
+        ip = stock + env_state.pipe.sum(axis=0)       # inventory position
+        tgt = jnp.asarray(targets).astype(stock.dtype)[:, :, None]
+
+        # --- supply: order up to target, as a fraction of supply capacity
+        order = jnp.clip(tgt - ip, 0.0, supply_cap[:, :, None])
+        v_sup = order / safe_sup[:, :, None]          # [N,P,B] in [0,1]
+
+        # --- ship: requested replenishment of each destination, in THIS
+        # node's stock units (factories: raw = product * ratio)
+        deficit = jnp.maximum(tgt - ip, 0.0)          # [N,P,B]
+        want = deficit[cc.edge_dst]                   # [N,Dmax,P,B]
+        want = jnp.where(cc.edge_mask[:, :, None, None], want, 0.0)
+        want = jnp.transpose(want, (0, 2, 1, 3))      # [N,P,Dmax,B]
+        want = want * proc_ratio[:, :, None, None]    # raw units at factories
+        total = want.sum(axis=2, keepdims=True)       # [N,P,1,B]
+        avail = jnp.maximum(stock[:, :, None, :], 0.0)
+        scale = jnp.where(total > avail, avail / jnp.where(total > 0, total, 1.0),
+                          1.0)
+        frac = jnp.where(avail > 0, want * scale / jnp.where(avail > 0, avail, 1.0),
+                         0.0)                          # [N,P,Dmax,B]
+        # encode fractions into the sorted-cut convention: cumulative sums
+        # over destinations; consecutive sorted diffs == frac, max == total
+        v_shp = jnp.clip(jnp.cumsum(frac, axis=2), 0.0, 1.0)
+
+        a = jnp.zeros((cc.A, B), stock.dtype)
+        a = a.at[sup_idx].set(v_sup[sup_rows, sup_prods])
+        a = a.at[shp_idx].set(v_shp[shp_n, shp_p, shp_d])
+        return (2.0 * a - 1.0).astype(dtype)
+
+    return policy
+
+
+def _base_stock_runner(cc: CompiledChain, batch_size: int, episodes: int,
+                       dtype):
+    """One jitted ``run(targets, key) -> mean episodic return`` shared by
+    every point of the z grid (targets are traced, so the rollout compiles
+    once)."""
+    B = batch_size
+    env_init, env_step, env_obs = make_vec_env(cc, B, dtype)
+
+    def run(targets, key):
+        policy = make_base_stock_policy(cc, targets, dtype)
+
+        def body(env_state, _):
+            a = policy(env_state.env)
+            env_state, out = env_step(env_state, a)
+            return env_state, out.reward
+
+        st = env_init(key)
+        _, rewards = jax.lax.scan(body, st, None, length=cc.T * episodes)
+        per_env = rewards.reshape(episodes, cc.T, B).sum(axis=1)
+        return per_env.mean()
+
+    return jax.jit(run)
+
+
+def evaluate_state_policy(cc: CompiledChain, batch_size: int, targets,
+                          key, episodes: int = 1, dtype=jnp.float32):
+    """Mean per-env episodic return of the base-stock policy with the given
+    targets, rolled out under one jitted ``lax.scan`` (same protocol as
+    learn/evaluate.py uses for learned policies)."""
+    run = _base_stock_runner(cc, batch_size, episodes, dtype)
+    return float(run(jnp.asarray(np.asarray(targets, np.float64), dtype), key))
+
+
+def best_base_stock(cc: CompiledChain, batch_size: int, key,
+                    zs: Sequence[float] = (0.5, 1.0, 1.5, 2.0, 3.0),
+                    episodes: int = 1, dtype=jnp.float32):
+    """Grid-search the base-stock multiplier; returns (best_z, best_return,
+    {z: return}).  One compile for the whole grid."""
+    run = _base_stock_runner(cc, batch_size, episodes, dtype)
+    scores = {}
+    for z in zs:
+        tgt = jnp.asarray(default_base_stock_targets(cc, z), dtype)
+        scores[z] = float(run(tgt, key))
+    best_z = max(scores, key=scores.get)
+    return best_z, scores[best_z], scores

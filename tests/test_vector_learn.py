@@ -170,26 +170,72 @@ def test_beergame_ppo_learns():
         f"no learning: early={np.mean(early):.1f} late={np.mean(late[-10:]):.1f}")
 
 
-@pytest.mark.skipif(not os.environ.get("GST_FULL"),
-                    reason="set GST_FULL=1 for the slow learning sweep")
-def test_supplychain_ppo_learns():
-    """Slow canary: PPO on the 2perstage chain improves mean reward by >15%
-    over the random-policy level within 100 iterations."""
+def test_supplychain_ppo_beats_base_stock():
+    """Learning-quality bar for the supply-chain family (round-1 VERDICT
+    item 4, un-gated): PPO trained 220 iterations on sc-2perstage-v0 (T=60)
+    must beat the TUNED base-stock heuristic's episodic return by >= 5%
+    under greedy evaluation.  The heuristic observes the true device state
+    (stock + pipeline) — a stronger oracle than the policy's observation —
+    and its multiplier z=2.0 is the grid optimum for this config
+    (learn/compare_baseline.py sweeps the grid; docs/TRAINING.md records
+    the full comparison)."""
     import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.evaluate import make_evaluator
+    from gym_supplychain_tpu.learn.heuristics import (
+        default_base_stock_targets, evaluate_state_policy)
     from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
 
-    cc = sct.make("supplychain-2perstage-v0", total_time_steps=60).cc
+    cc = sct.make("sc-2perstage-v0", total_time_steps=60).cc
+    heur = evaluate_state_policy(
+        cc, 256, default_base_stock_targets(cc, 2.0), jax.random.PRNGKey(0))
+
     init_fn, train_step = make_ppo(
         cc, 256, PPOConfig(rollout_steps=32, hidden=(64, 64), lr=3e-3,
                            epochs=4))
     state = init_fn(jax.random.PRNGKey(0))
     step = jax.jit(train_step)
-    hist = []
-    for it in range(100):
+    for _ in range(220):
         state, m = step(state)
-        hist.append(float(m["mean_reward"]))
-    early, late = np.mean(hist[:10]), np.mean(hist[-10:])
-    assert late > early * 0.85, f"no learning: {early:.0f} -> {late:.0f}"
+    evaluate = jax.jit(make_evaluator(cc, 256), static_argnames="episodes")
+    trained = float(evaluate(state.params, jax.random.PRNGKey(1), 1)
+                    ["mean_return"])
+    assert trained > heur + 0.05 * abs(heur), (
+        f"trained {trained:.0f} does not beat base-stock {heur:.0f} by 5%")
+
+
+def test_base_stock_heuristic_sanity():
+    """The scripted baseline itself must be sane: distinct-retailer
+    reachability (parallel paths must not multiply), and a clearly better
+    return than the random policy on sc-2perstage-v0."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.heuristics import (
+        _reachable_retailers, default_base_stock_targets,
+        evaluate_state_policy)
+
+    cc = sct.make("sc-2perstage-v0", total_time_steps=60).cc
+    # 2 suppliers -> 2 factories -> 2 wholesalers -> 2 retailers, full
+    # bipartite: every non-retailer reaches exactly the 2 retailers
+    assert list(_reachable_retailers(cc)) == [2, 2, 2, 2, 2, 2, 1, 1]
+
+    B, key = 128, jax.random.PRNGKey(3)
+    heur = evaluate_state_policy(cc, B, default_base_stock_targets(cc, 2.0),
+                                 key)
+
+    init_fn, step_fn, _ = make_vec_env(cc, B)
+
+    def random_return(key):
+        st = init_fn(key)
+
+        def body(st, k):
+            a = jax.random.uniform(k, (cc.A, B), minval=-1.0, maxval=1.0)
+            st, out = step_fn(st, a)
+            return st, out.reward
+
+        _, r = jax.lax.scan(body, st, jax.random.split(key, cc.T))
+        return r.sum(0).mean()
+
+    rand = float(jax.jit(random_return)(key))
+    assert heur > rand * 0.8, (heur, rand)   # rewards negative: heur better
 
 
 def test_vec_host_autoreset_continues_stream():
