@@ -77,13 +77,27 @@ def _worker(rank: int, nprocs: int, port: str, envs: int, iters: int,
           flush=True)
 
 
-def _run(nprocs: int, envs: int, iters: int, devices_per_proc: int) -> float:
+def _run(nprocs: int, envs: int, iters: int, devices_per_proc: int,
+         pin_cores: bool = False) -> float:
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    ncores = os.cpu_count() or 1
+
+    def _cmd(r):
+        cmd = [sys.executable, _SELF, "--_worker", str(r), str(nprocs), port,
+               str(envs), str(iters), str(devices_per_proc)]
+        if pin_cores:
+            # one core per process: without pinning, a 1-process XLA CPU run
+            # already multithreads over every core, so N processes on the
+            # same cores measure contention, not scaling.  Pinning makes it
+            # a weak-resource-scaling test (each "host" = one core), which
+            # is the multi-host semantics being modeled.
+            cmd = ["taskset", "-c", str(r % ncores)] + cmd
+        return cmd
+
     procs = [subprocess.Popen(
-        [sys.executable, _SELF, "--_worker", str(r), str(nprocs), port,
-         str(envs), str(iters), str(devices_per_proc)],
+        _cmd(r),
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
         for r in range(nprocs)]
     sps = []
@@ -105,6 +119,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--procs", type=int, nargs="+", default=[1, 2])
     ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--pin-cores", action="store_true",
+                    help="pin each process to one core (fair per-host "
+                         "scaling on a shared-core box)")
     args = ap.parse_args()
 
     if args._worker:
@@ -114,7 +131,8 @@ def main():
 
     results = {}
     for n in args.procs:
-        sps = _run(n, args.envs, args.iters, args.devices_per_proc)
+        sps = _run(n, args.envs, args.iters, args.devices_per_proc,
+                   args.pin_cores)
         results[n] = sps
         print(json.dumps({"processes": n, "global_envs": args.envs,
                           "train_env_steps_per_s": round(sps, 1)}))
