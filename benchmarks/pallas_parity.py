@@ -183,6 +183,100 @@ def _bench_beergame(B, repeats):
     }
 
 
+def _bench_policy_rollout(name, B, repeats, hidden=(128, 128)):
+    """Fused policy-in-the-loop kernel (obs -> MLP actor on MXU -> tanh(mu)
+    -> env step, whole episode in one pallas_call) vs the scan-engine greedy
+    evaluator with the same HIGHEST-precision matmuls."""
+    import jax
+    import jax.numpy as jnp
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    from gym_supplychain_tpu.models.policy import (MLPConfig,
+                                                   init_actor_critic)
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_policy_rollout_pallas)
+    from gym_supplychain_tpu.rng.device import (device_demand_tables,
+                                                device_leadtime_tables)
+
+    T = 360
+    cc = sct.make(name, total_time_steps=T).cc
+    params = init_actor_critic(jax.random.PRNGKey(1),
+                               MLPConfig(cc.obs_dim, cc.A, hidden))
+    params["mu"]["w"] = params["mu"]["w"] * 100     # non-degenerate actions
+    run_policy = make_supplychain_policy_rollout_pallas(cc, T, B,
+                                                        hidden=hidden)
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+
+    def forward_mu(obs):
+        x = obs
+        for layer in params["actor"]:
+            x = jnp.tanh(jnp.einsum("on,nb->ob", layer["w"], x,
+                                    precision=jax.lax.Precision.HIGHEST)
+                         + layer["b"])
+        return (jnp.einsum("on,nb->ob", params["mu"]["w"], x,
+                           precision=jax.lax.Precision.HIGHEST)
+                + params["mu"]["b"])
+
+    def _inputs(key):
+        kd, kl = jax.random.split(key)
+        demands = device_demand_tables(kd, cc, B)
+        lt = (device_leadtime_tables(kl, cc, B)
+              if cc.stochastic_leadtimes else None)
+        return demands, lt
+
+    def _pallas_ep(demands, lt):
+        if cc.stochastic_leadtimes:
+            return run_policy(demands, lt, params)
+        return run_policy(demands, params)
+
+    def _scan_ep(demands, lt):
+        st = reset_fn(demands, lt, B)
+
+        def body(carry, _):
+            st, obs = carry
+            st, out = step_fn(st, jnp.tanh(forward_mu(obs)))
+            return (st, out.obs), out.reward
+
+        (_, _), rews = jax.lax.scan(body, (st, obs_fn(st)), None, length=T)
+        return rews
+
+    def make_run(engine, eps):
+        ep = _pallas_ep if engine == "pallas" else _scan_ep
+
+        def fn(seed):
+            def body(acc, k):
+                return acc + ep(*_inputs(k)).sum(), None
+
+            ks = jax.random.split(jax.random.PRNGKey(seed), eps)
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), ks)
+            return acc
+
+        return jax.jit(fn)
+
+    @jax.jit
+    def parity(seed):
+        demands, lt = _inputs(jax.random.PRNGKey(seed))
+        pal = _pallas_ep(demands, lt)
+        ref = _scan_ep(demands, lt)
+        return (jnp.abs(pal - ref).max(), jnp.abs(ref).max())
+
+    pal_ms = _per_episode_ms(lambda e: make_run("pallas", e), repeats,
+                             ep_counts=(2, 8, 32))
+    scan_ms = _per_episode_ms(lambda e: make_run("scan", e), repeats,
+                              ep_counts=(2, 8, 32))
+    err, scale = (float(x) for x in jax.device_get(parity(0)))
+    rel = err / scale if scale else 0.0
+    return {
+        "hidden": list(hidden),
+        "pallas_episode_ms": round(pal_ms, 4),
+        "scan_episode_ms": round(scan_ms, 4),
+        "pallas_steps_per_s": round(T * B / (pal_ms * 1e-3), 1),
+        "max_rel_err_vs_scan": float(f"{rel:.2e}"),
+        "parity_ok": bool(rel < 1e-5),
+    }
+
+
 def run_pallas_bench(B, repeats=5):
     import jax
     out = {"platform": jax.devices()[0].platform, "B": B,
@@ -193,6 +287,8 @@ def run_pallas_bench(B, repeats=5):
         "supplychain-linear-v0", B, repeats)
     out["supplychain-ntom-v0"] = _bench_supplychain(
         "supplychain-ntom-v0", B, repeats)
+    out["policy-rollout supplychain-linear-v0"] = _bench_policy_rollout(
+        "supplychain-linear-v0", B, repeats)
     return out
 
 

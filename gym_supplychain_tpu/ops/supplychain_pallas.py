@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.compile import CompiledChain
 
-__all__ = ["make_supplychain_episode_pallas"]
+__all__ = ["make_supplychain_episode_pallas",
+           "make_supplychain_policy_rollout_pallas"]
 
 
 def _uniform_pm1(shape):
@@ -54,11 +55,12 @@ def _uniform_pm1(shape):
     return 2.0 * fbits - 3.0
 
 
-def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
-                                    interpret: bool = False):
+def _make_episode_runners(cc: CompiledChain, T: int, B: int,
+                          interpret: bool = False):
     """Build whole-episode rollout kernels for a compiled chain.
 
-    Returns ``(run_seeded, run_actions)``.  Constant lead-times:
+    Returns ``(run_seeded, run_actions, build_policy_runner)``.
+    Constant lead-times:
     ``run_seeded(demands[T+1, R, P, B], seed)`` / ``run_actions(demands,
     actions[T, A, B])``.  Stochastic lead-times additionally take the
     per-episode table: ``run_seeded(demands, leadtimes[T, K, B], seed)`` /
@@ -102,12 +104,29 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     edges = [(int(s), int(d), int(t)) for s, d, t in zip(e_src, e_di, e_dst)]
     dst_of = {(s, d): t2 for s, d, t2 in edges}
 
-    def _kernel(*refs, seeded: bool):
+    # observation normalizers (mirrors core/step.py obs_fn)
+    max_ship = np.asarray(cc.max_ship, np.float32)
+    ms_safe = np.where(max_ship > 0, max_ship, 1.0)
+    ms_ok = max_ship > 0
+    dem_min = np.asarray(cc.dem_min, np.float32)
+    dem_rangev = np.asarray(cc.dem_range, np.float32)
+
+    def _kernel(*refs, mode: str, n_w: int = 0):
+        """mode: 'seeded' (in-kernel PRNG actions), 'actions' (action table),
+        'policy' (obs -> MLP actor -> tanh greedy action, all in-kernel)."""
+        seeded = mode == "seeded"
+        i = 0
+        demand_ref = refs[i]; i += 1
         if stochastic:
-            demand_ref, lt_ref, act_ref, reward_ref, stock_ref, ring_ref = refs
+            lt_ref = refs[i]; i += 1
         else:
-            demand_ref, act_ref, reward_ref, stock_ref, ring_ref = refs
             lt_ref = None
+        if mode == "policy":
+            w_refs = refs[i:i + n_w]; i += n_w
+            act_ref = None
+        else:
+            act_ref = refs[i]; i += 1
+        reward_ref, stock_ref, ring_ref = refs[i:i + 3]
 
         def _gather_lt(lt_row, idx):
             """One-hot gather: lt_row[K, B] int32, idx[B] int32 -> [B]."""
@@ -145,6 +164,47 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
                 # does not persist across grid steps
                 pltpu.prng_seed(act_ref[0], ti)
                 a = _uniform_pm1((A, B))
+            elif mode == "policy":
+                # --- fused policy-in-the-loop: build the observation from
+                # the live VMEM state (mirrors core/step.py obs_fn: state at
+                # scan-time ti, pipe[j] = ring[(t + j) % RING]) and run the
+                # MLP actor on the MXU, greedy action = tanh(mu) ----------
+                dem = demand_ref[0]                                # [R,P,B]
+                rows = []
+                for r in range(R):
+                    for p in range(P):
+                        rows.append((dem[r, p] - dem_min[p]) / dem_rangev[p])
+                for n in range(N):
+                    for p in range(P):
+                        # direct division like the reference (:433);
+                        # x / inf -> 0 for unbounded capacity
+                        rows.append(stock_ref[n, p] / stock_cap[n, p])
+                    for p in range(P):
+                        for j in range(Lavg - 1):
+                            pj = ring_ref[(t + j) % RING, n, p]
+                            rows.append(pj / ms_safe[n, p]
+                                        if ms_ok[n, p] else jnp.zeros((B,), f32))
+                        tail = jnp.zeros((B,), f32)
+                        for j in range(Lavg - 1, RING - 1):
+                            tail = tail + ring_ref[(t + j) % RING, n, p]
+                        rows.append(tail / (ms_safe[n, p] * (Lmax - (Lavg - 1)))
+                                    if ms_ok[n, p] else jnp.zeros((B,), f32))
+                remaining = (T - ti).astype(f32) / T
+                rows.append(jnp.broadcast_to(remaining, (B,)))
+                obs = jnp.clip(2.0 * jnp.stack(rows) - 1.0, -1.0, 1.0)
+
+                x = obs
+                for li in range(0, n_w - 2, 2):
+                    x = jnp.tanh(
+                        jax.lax.dot(w_refs[li][...], x,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=f32)
+                        + w_refs[li + 1][...])
+                mu = (jax.lax.dot(w_refs[n_w - 2][...], x,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=f32)
+                      + w_refs[n_w - 1][...])
+                a = jnp.tanh(mu)
             else:
                 a = act_ref[0]                                    # [A,B]
             a = (a + 1.0) * 0.5
@@ -336,16 +396,20 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
 
             reward_ref[0, 0] = reward
 
-    def _build(seeded):
-        kernel = functools.partial(_kernel, seeded=seeded)
+    def _build(mode, n_w=0):
+        kernel = functools.partial(_kernel, mode=mode, n_w=n_w)
         # grid over episode steps; per-step rows of the HBM-resident tables
         # are pipelined into VMEM as (1, ...) blocks
-        act_spec = (pl.BlockSpec(memory_space=pltpu.SMEM) if seeded
-                    else pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)))
         in_specs = [pl.BlockSpec((1, R, P, B), lambda t: (t, 0, 0, 0))]
         if stochastic:
             in_specs.append(pl.BlockSpec((1, K, B), lambda t: (t, 0, 0)))
-        in_specs.append(act_spec)
+        if mode == "seeded":
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        elif mode == "actions":
+            in_specs.append(pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)))
+        else:   # policy: weights/biases are small, VMEM-resident full blocks
+            in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(n_w))
         # rewards carry a singleton middle axis (squeezed by the wrappers):
         # TPU lowering requires a block's last two dims to divide (8, 128)
         # or equal the array's, and a (1, B) block over [T, B] does neither
@@ -363,8 +427,37 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
         )
         return lambda *args: call(*args).squeeze(1)
 
-    seeded_call = _build(True)
-    actions_call = _build(False)
+    def build_policy_runner(hidden):
+        """Fused greedy-policy rollout: obs -> MLP actor -> tanh(mu) -> env
+        step, the whole episode in one kernel.  Takes the init_actor_critic
+        params dict; only the actor trunk + mu head enter the kernel."""
+        n_w = 2 * len(hidden) + 2
+        policy_call = _build("policy", n_w=n_w)
+
+        def _flat(params):
+            flat = []
+            for layer in params["actor"]:
+                flat += [jnp.asarray(layer["w"], f32),
+                         jnp.asarray(layer["b"], f32)]
+            flat += [jnp.asarray(params["mu"]["w"], f32),
+                     jnp.asarray(params["mu"]["b"], f32)]
+            assert len(flat) == n_w, (len(flat), n_w)
+            return flat
+
+        if stochastic:
+            def run_policy(demands, leadtimes, params):
+                """demands[T+1,R,P,B], leadtimes[T,K,B], params -> [T,B]."""
+                return policy_call(jnp.asarray(demands, f32),
+                                   jnp.asarray(leadtimes, i32),
+                                   *_flat(params))
+        else:
+            def run_policy(demands, params):
+                """demands[T+1,R,P,B], params -> rewards [T,B]."""
+                return policy_call(jnp.asarray(demands, f32), *_flat(params))
+        return jax.jit(run_policy)
+
+    seeded_call = _build("seeded")
+    actions_call = _build("actions")
 
     if stochastic:
         @jax.jit
@@ -393,4 +486,30 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
             return actions_call(jnp.asarray(demands, f32),
                                 jnp.asarray(actions, f32))
 
+    return run_seeded, run_actions, build_policy_runner
+
+
+def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
+                                    interpret: bool = False):
+    """Whole-episode rollout kernels; see ``_make_episode_runners``.
+
+    Returns ``(run_seeded, run_actions)`` (docstring above)."""
+    run_seeded, run_actions, _ = _make_episode_runners(cc, T, B, interpret)
     return run_seeded, run_actions
+
+
+def make_supplychain_policy_rollout_pallas(cc: CompiledChain, T: int, B: int,
+                                           hidden=(128, 128),
+                                           interpret: bool = False):
+    """Fused greedy policy-in-the-loop rollout (one kernel per episode).
+
+    Each grid step builds the observation from the live VMEM state, runs
+    the MLP actor trunk + mu head on the MXU (f32, Precision.HIGHEST),
+    takes the greedy action tanh(mu), and advances the environment — the
+    exact workload of ``learn/evaluate.py`` with zero per-step HBM round
+    trips for state or activations.  Takes ``init_actor_critic`` params.
+
+    Returns ``run_policy(demands, [leadtimes,] params) -> rewards [T, B]``.
+    """
+    _, _, build = _make_episode_runners(cc, T, B, interpret)
+    return build(tuple(hidden))

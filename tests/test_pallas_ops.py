@@ -191,3 +191,85 @@ def test_pallas_episode_zero_delay():
     pallas_rewards = np.asarray(beergame_episode_pallas(
         dem2, actions, inv0, delay=0, init_delay=2, interpret=True))
     np.testing.assert_array_equal(pallas_rewards, np.stack(scan_rewards))
+
+
+def _greedy_scan_rewards(cc, params, demands, leadtimes=None):
+    """Oracle: greedy (tanh(mu)) rollout through the scan engine with the
+    same HIGHEST-precision matmuls the fused kernel uses."""
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+
+    def forward_mu(params, obs):
+        x = obs
+        for layer in params["actor"]:
+            x = jnp.tanh(jnp.einsum("on,nb->ob", layer["w"], x,
+                                    precision=jax.lax.Precision.HIGHEST)
+                         + layer["b"])
+        return (jnp.einsum("on,nb->ob", params["mu"]["w"], x,
+                           precision=jax.lax.Precision.HIGHEST)
+                + params["mu"]["b"])
+
+    T = demands.shape[0] - 1
+    B = demands.shape[-1]
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+
+    def run():
+        st = reset_fn(demands, leadtimes, B)
+
+        def body(carry, _):
+            st, obs = carry
+            a = jnp.tanh(forward_mu(params, obs))
+            st, out = step_fn(st, a)
+            return (st, out.obs), out.reward
+
+        (_, _), rews = jax.lax.scan(body, (st, obs_fn(st)), None, length=T)
+        return rews
+
+    return np.asarray(jax.jit(run)())
+
+
+def test_policy_rollout_pallas_linear():
+    """Fused policy-in-the-loop kernel (obs -> MLP -> tanh(mu) -> env step)
+    must match the scan-engine greedy evaluator."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.models.policy import MLPConfig, init_actor_critic
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_policy_rollout_pallas)
+
+    T, B, hidden = 20, 8, (32, 32)
+    cc = sct.make("supplychain-linear-v0", total_time_steps=T).cc
+    params = init_actor_critic(
+        jax.random.PRNGKey(1), MLPConfig(cc.obs_dim, cc.A, hidden))
+    # non-degenerate mu head (default init scale 0.01 makes actions ~0)
+    params["mu"]["w"] = params["mu"]["w"] * 100
+    rs = np.random.RandomState(0)
+    demands = rs.randint(0, 20, size=(T + 1, cc.R, cc.P, B)).astype(np.float32)
+
+    run_policy = make_supplychain_policy_rollout_pallas(
+        cc, T, B, hidden=hidden, interpret=True)
+    pal = np.asarray(run_policy(demands, params))
+    ref = _greedy_scan_rewards(cc, params, jnp.asarray(demands))
+    np.testing.assert_allclose(pal, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_policy_rollout_pallas_stochastic_ntom():
+    """Same fused kernel with stochastic lead-times on the N-to-M chain."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.models.policy import MLPConfig, init_actor_critic
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_policy_rollout_pallas)
+
+    T, B, hidden = 15, 4, (16,)
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=T).cc
+    params = init_actor_critic(
+        jax.random.PRNGKey(2), MLPConfig(cc.obs_dim, cc.A, hidden))
+    params["mu"]["w"] = params["mu"]["w"] * 100
+    rs = np.random.RandomState(3)
+    demands = rs.randint(0, 30, size=(T + 1, cc.R, cc.P, B)).astype(np.float32)
+    leadtimes = rs.randint(1, cc.Lmax + 1, size=(T, cc.K, B)).astype(np.int32)
+
+    run_policy = make_supplychain_policy_rollout_pallas(
+        cc, T, B, hidden=hidden, interpret=True)
+    pal = np.asarray(run_policy(demands, leadtimes, params))
+    ref = _greedy_scan_rewards(cc, params, jnp.asarray(demands),
+                               jnp.asarray(leadtimes))
+    np.testing.assert_allclose(pal, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
