@@ -85,7 +85,11 @@ def bench_supplychain(cc, B):
 
     def make_run(steps):
         def rollout(seed):
-            key = jax.random.PRNGKey(seed)
+            # rbg keys: XLA's native RngBitGenerator is the TPU-idiomatic
+            # counter-based PRNG — measured 20.4 -> 12.9 us/step at B=4096
+            # vs threefry (the env's stateless per-step draws inherit the
+            # key's impl, so the whole rollout switches)
+            key = jax.random.key(seed, impl="rbg")
             st = init_fn(key)
 
             def body(st, k):
@@ -117,7 +121,7 @@ def bench_beergame(B, weeks=35):
 
     def make_run(steps):
         def rollout(seed):
-            key = jax.random.PRNGKey(seed)
+            key = jax.random.key(seed, impl="rbg")
             st = reset_fn(demand, delays, [12] * L, 4, 4, B)
 
             def body(st, k):
