@@ -39,6 +39,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 REPEATS = 5
+# lax.scan unroll for the supply-chain rollout bodies: at B=4096 the step
+# kernel's arrays are small enough that the scan is op-overhead bound, and
+# unrolling lets XLA fuse across consecutive env steps (measured on v5e:
+# linear 15.1 -> 13.6 us/step at unroll=4; benchmarks/unroll_experiment.py).
+# The beer game kernel showed NO benefit (10.7 -> 11.4/10.6 us at unroll
+# 4/8) so it stays at 1.  A real PPO collection loop can unroll its
+# trajectory scan identically, so this is a deployable configuration, not a
+# bench trick.
+UNROLL_SC = int(os.environ.get("GST_UNROLL", "4"))
+UNROLL_BG = int(os.environ.get("GST_UNROLL_BG", "1"))
 
 
 def _timed_fetch(run, seed):
@@ -100,7 +110,7 @@ def bench_supplychain(cc, B):
                 return st, out.reward.sum() + out.obs.sum()
 
             ks = jax.random.split(key, steps)
-            st, rews = jax.lax.scan(body, st, ks)
+            st, rews = jax.lax.scan(body, st, ks, unroll=UNROLL_SC)
             return rews.sum()
 
         return jax.jit(rollout)
@@ -133,7 +143,7 @@ def bench_beergame(B, weeks=35):
                 return st, reward.sum() + obs.sum()
 
             ks = jax.random.split(key, steps)
-            st, rews = jax.lax.scan(body, st, ks)
+            st, rews = jax.lax.scan(body, st, ks, unroll=UNROLL_BG)
             return rews.sum()
 
         return jax.jit(rollout)
@@ -157,7 +167,9 @@ def main():
     from benchmarks.ref_baseline import get_baseline
 
     platform = jax.devices()[0].platform
-    details = {"platform": platform, "timing_protocol":
+    details = {"platform": platform,
+               "unroll": {"supplychain": UNROLL_SC, "beergame": UNROLL_BG},
+               "timing_protocol":
                "post-fetch sync; per_step_us = slope over 1x/2x/4x scans; "
                f"median of {REPEATS} repeats"}
     results = {}

@@ -76,34 +76,36 @@ def make_beergame_run(B, unroll, weeks=35):
 
 
 def main():
+    """Usage: python benchmarks/unroll_experiment.py <config> <unroll> [...]
+
+    One (config, unroll) measurement per pair of argv entries, so runs stay
+    short under the slow tunneled compiles.  Configs: linear | ntom | beergame.
+    """
     B = 4096
     from gym_supplychain_tpu.envs.presets import (SupplyChainLinearEnv,
                                                   SupplyChainNtoMEnv)
+    pairs = list(zip(sys.argv[1::2], [int(x) for x in sys.argv[2::2]])) or [
+        ("linear", 1), ("linear", 4)]
     out = {}
-    configs = {
-        "supplychain-linear-v0": (make_supplychain_run(
-            SupplyChainLinearEnv(total_time_steps=360).cc, B, None), 4 * 360),
-        "supplychain-ntom-v0": (make_supplychain_run(
-            SupplyChainNtoMEnv(total_time_steps=360).cc, B, None), 4 * 360),
-        "beergame-v0": (make_beergame_run(B, None), 40 * 35),
-    }
-    for name in configs:
-        out[name] = {}
-        for unroll in [1, 2, 4, 8]:
-            if name.startswith("supplychain"):
-                cc = (SupplyChainLinearEnv(total_time_steps=360).cc
-                      if "linear" in name
-                      else SupplyChainNtoMEnv(total_time_steps=360).cc)
-                mr = make_supplychain_run(cc, B, unroll)
-            else:
-                mr = make_beergame_run(B, unroll)
-            r = _measure_slope(mr, configs[name][1])
-            out[name][f"unroll={unroll}"] = {
-                "per_step_us": r["per_step_us"],
-                "linearity": r["linearity_check"],
-            }
-            print(name, "unroll", unroll, "->", r["per_step_us"], "us/step",
-                  "lin", r["linearity_check"], flush=True)
+    for name, unroll in pairs:
+        if name == "linear":
+            mr = make_supplychain_run(
+                SupplyChainLinearEnv(total_time_steps=360).cc, B, unroll)
+            base = 4 * 360
+        elif name == "ntom":
+            mr = make_supplychain_run(
+                SupplyChainNtoMEnv(total_time_steps=360).cc, B, unroll)
+            base = 4 * 360
+        else:
+            mr = make_beergame_run(B, unroll)
+            base = 40 * 35
+        r = _measure_slope(mr, base)
+        out[f"{name} unroll={unroll}"] = {
+            "per_step_us": r["per_step_us"],
+            "linearity": r["linearity_check"],
+        }
+        print(name, "unroll", unroll, "->", r["per_step_us"], "us/step",
+              "lin", r["linearity_check"], flush=True)
     print(json.dumps(out, indent=1))
 
 

@@ -46,6 +46,12 @@ class PPOConfig(NamedTuple):
     # near "order nothing" otherwise collapses the policy to a corner)
     pre_tanh_reg: float = 1e-3
     hidden: Tuple[int, ...] = (128, 128)
+    # lax.scan unroll for the trajectory-collection scan: at large env
+    # batches the step kernel is op-overhead bound, and unrolling lets XLA
+    # fuse across consecutive env steps (linear chain measured ~10% faster
+    # at unroll=4 on v5e; benchmarks/unroll_experiment.py).  Costs compile
+    # time proportional to the unroll factor.
+    rollout_unroll: int = 1
 
 
 class TrainState(NamedTuple):
@@ -101,7 +107,8 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
             return (env_state, out.obs), traj
 
         keys = jax.random.split(key, cfg.rollout_steps)
-        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys)
+        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys,
+                                                   unroll=cfg.rollout_unroll)
         _, _, last_value = actor_critic_forward(params, last_obs)
         return env_state, traj, last_value
 
@@ -222,7 +229,8 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
             return (env_state, _obs(env_state)), traj
 
         keys = jax.random.split(key, cfg.rollout_steps)
-        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys)
+        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys,
+                                                   unroll=cfg.rollout_unroll)
         _, last_value = discrete_forward(params, last_obs, levels, max_order)
         return env_state, traj, last_value
 
