@@ -179,37 +179,56 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
     one categorical head per chain level over ``max_order`` order quantities.
 
     The rollout runs continuous auto-reset episodes of the batched beer game
-    kernel.  ``init_fn(key) -> TrainState``; ``train_step`` as in
-    :func:`make_ppo`."""
+    kernel.  ``customer_demand`` / ``shipment_delays`` accept the reference
+    v2's stochastic 2-element ``randint`` ranges (beergame2_env.py:41-58):
+    fresh per-lane episode tables are then drawn on device at every
+    auto-reset, so training covers the stochastic variants.  ``init_fn(key)
+    -> TrainState``; ``train_step`` as in :func:`make_ppo`."""
     import numpy as np
 
     from ..core.beergame import make_beergame_kernels
+    from ..envs.vector import _is_range, make_beergame_table_draw
 
     B = batch_size
-    demand = np.asarray(customer_demand if customer_demand is not None
-                        else [4] * 4 + [8] * (weeks - 4), np.int32)
-    delays = np.full(weeks + 1, shipment_delays, np.int32)
-    delays[0] = 2
+    dem_range = customer_demand if _is_range(customer_demand) else None
+    delay_range = shipment_delays if _is_range(shipment_delays) else None
+    demand = delays = None
+    if dem_range is None:
+        demand = np.asarray(customer_demand if customer_demand is not None
+                            else [4] * 4 + [8] * (weeks - 4), np.int32)
+        weeks = len(demand)
+    if delay_range is None:
+        delays = np.full(weeks + 1, shipment_delays, np.int32)
+        delays[0] = 2
+        max_delay = int(delays.max())
+    else:
+        max_delay = max(2, int(delay_range[1]))
+    stochastic = dem_range is not None or delay_range is not None
+    draw = make_beergame_table_draw(weeks, dem_range, delay_range,
+                                    demand, delays, jnp.int32)
     inv0 = np.full(levels, initial_inventory, np.int32)
     reset_k, step_k, obs_k = make_beergame_kernels(
-        levels, weeks, int(delays.max()), v2=v2, max_stock=max_stock,
+        levels, weeks, max_delay, v2=v2, max_stock=max_stock,
         exceeded_capacity_penalty=exceeded_capacity_penalty, itype=jnp.int32)
-    obs_scale = 1.0 / (4.0 * float(demand.max()))     # keep obs O(1)
+    max_dem = float(demand.max()) if demand is not None \
+        else float(dem_range[1] - 1)
+    obs_scale = 1.0 / (4.0 * max_dem)                 # keep obs O(1)
     mcfg = MLPConfig(obs_dim=levels, act_dim=levels, hidden=cfg.hidden)
     tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
                      optax.adam(cfg.lr))
 
-    def _fresh():
-        return reset_k(demand, delays, inv0, 4, 4, B)
+    def _fresh(key):
+        dem, dly = draw(key, B)
+        return reset_k(dem, dly, inv0, 4, 4, B)
 
     def _obs(st):
         return obs_k(st).astype(dtype) * obs_scale
 
     def init_fn(key) -> TrainState:
-        kp, kk = jax.random.split(key)
+        kp, ke, kk = jax.random.split(key, 3)
         params = init_discrete_actor_critic(kp, mcfg, max_order, dtype)
         return TrainState(params=params, opt_state=tx.init(params),
-                          env=_fresh(), key=kk)
+                          env=_fresh(ke), key=kk)
 
     def _rollout(params, env_state, key):
         obs0 = _obs(env_state)
@@ -221,8 +240,12 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
                                          axis=-1)            # [L, B]
             logp, _ = categorical_logp_entropy(logits, act)
             env_state, (next_obs, reward, done) = step_k(env_state, act)
-            env_state = jax.lax.cond(done, lambda _: _fresh(),
-                                     lambda _: env_state, None)
+            # fresh per-lane stochastic tables at the episode boundary; the
+            # scalar cond keeps the reset body off the per-step hot path
+            # (see envs/vector.py step_fn note)
+            env_state = jax.lax.cond(
+                done, lambda _: _fresh(jax.random.fold_in(k, 7)),
+                lambda _: env_state, None)
             traj = Trajectory(obs=obs, act_pre=act, logp=logp,
                               reward=reward.astype(dtype) * reward_scale,
                               value=value, done=done)

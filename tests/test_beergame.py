@@ -146,3 +146,89 @@ def test_multidiscrete_sampler():
     assert s.shape == (4,) and (s >= 0).all() and (s < 30).all()
     space.seed(0)
     assert np.array_equal(s, space.sample())
+
+
+# ---------------------------------------------------------------------------
+# Vectorized beer game v2 stochastic ranges (VERDICT r2 item 8)
+# ---------------------------------------------------------------------------
+
+def test_vec_beergame_v2_host_stream_parity():
+    """VecBeerGameEnv host mode: lane b replays a single BeerGameEnv2 seeded
+    ``seed + b`` bit-exactly, including the per-episode stochastic demand and
+    delay draws (draw order beergame2_env.py:87-92), across two consecutive
+    episodes of the same streams."""
+    import jax
+    import numpy as np
+    from gym_supplychain_tpu.envs.vector import VecBeerGameEnv
+
+    B, seed = 3, 11
+    kw = dict(customer_demand=(0, 12), shipment_delays=(0, 4), max_stock=40,
+              exceeded_capacity_penalty=37)
+    vec = VecBeerGameEnv(batch_size=B, v2=True, rng_mode="host", seed=seed,
+                         **kw)
+    singles = [BeerGameEnv2(seed=seed + b, **kw) for b in range(B)]
+    rs = np.random.RandomState(0)
+    for _ in range(2):                      # consecutive episodes, one stream
+        vec.reset()
+        for b, env in enumerate(singles):
+            env.reset()
+            np.testing.assert_array_equal(vec.customer_demand[:, b],
+                                          env.customer_demand)
+            np.testing.assert_array_equal(vec.shipment_delays[:, b],
+                                          env.shipment_delays)
+        for _ in range(vec.max_weeks):
+            a = rs.randint(0, 20, size=(4, B))
+            obs, reward, done = vec.step(a)
+            obs, reward = jax.device_get((obs, reward))
+            for b, env in enumerate(singles):
+                o, r, d, _ = env.step(a[:, b])
+                np.testing.assert_array_equal(obs[:, b], o)
+                assert float(reward[b]) == float(r)
+                assert bool(done) == bool(d)
+
+
+def test_vec_beergame_v2_device_stochastic_draws():
+    """Device mode: per-lane tables are in-range, differ across lanes and
+    across consecutive resets."""
+    import numpy as np
+    from gym_supplychain_tpu.envs.vector import VecBeerGameEnv
+
+    vec = VecBeerGameEnv(batch_size=64, v2=True, customer_demand=(3, 9),
+                         shipment_delays=(0, 4), seed=0)
+    vec.reset()
+    d1, l1 = vec.customer_demand, vec.shipment_delays
+    assert d1.shape == (35, 64) and l1.shape == (36, 64)
+    assert d1.min() >= 3 and d1.max() <= 8          # randint high exclusive
+    assert l1[1:].min() >= 0 and l1[1:].max() <= 3
+    np.testing.assert_array_equal(l1[0], 2)          # prepended initial delay
+    assert not np.array_equal(d1[:, 0], d1[:, 1])    # lanes independent
+    vec.reset()
+    assert not np.array_equal(d1, vec.customer_demand)  # fresh per episode
+    # all outcomes of the scripted ranges actually occur
+    assert set(np.unique(d1)) == set(range(3, 9))
+    assert set(np.unique(l1[1:])) == set(range(0, 4))
+
+
+def test_beergame_ppo_stochastic_ranges_smoke():
+    """make_beergame_ppo trains on the stochastic v2 variant: per-lane tables
+    drawn at init and at every in-scan auto-reset; loss stays finite and the
+    env state's tables change across the episode boundary."""
+    import jax
+    import numpy as np
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_beergame_ppo
+
+    cfg = PPOConfig(rollout_steps=6, epochs=1, hidden=(16, 16),
+                    rollout_unroll=1)
+    init_fn, train_step = make_beergame_ppo(
+        8, cfg, weeks=4, max_order=8, v2=True, customer_demand=(0, 12),
+        shipment_delays=(0, 4), max_stock=40, exceeded_capacity_penalty=37)
+    state = init_fn(jax.random.PRNGKey(0))
+    d0 = np.asarray(state.env.customer_demand)
+    assert d0.shape == (4, 8) and d0.min() >= 0 and d0.max() <= 11
+    step_jit = jax.jit(train_step)
+    state, metrics = step_jit(state)       # 6 steps > 4 weeks: crosses reset
+    assert np.isfinite(float(metrics["loss"]))
+    d1 = np.asarray(state.env.customer_demand)
+    assert not np.array_equal(d0, d1), "auto-reset did not redraw tables"
+    state, metrics = step_jit(state)
+    assert np.isfinite(float(metrics["loss"]))
