@@ -44,9 +44,8 @@ REPEATS = 5
 # unrolling lets XLA fuse across consecutive env steps (measured on v5e:
 # linear 15.1 -> 13.6 us/step at unroll=4; benchmarks/unroll_experiment.py).
 # The beer game kernel showed NO benefit (10.7 -> 11.4/10.6 us at unroll
-# 4/8) so it stays at 1.  A real PPO collection loop can unroll its
-# trajectory scan identically, so this is a deployable configuration, not a
-# bench trick.
+# 4/8) so it stays at 1.  PPOConfig.rollout_unroll defaults to the same 4,
+# so the deployed trainer and the benchmark run the identical configuration.
 UNROLL_SC = int(os.environ.get("GST_UNROLL", "4"))
 UNROLL_BG = int(os.environ.get("GST_UNROLL_BG", "1"))
 
@@ -58,12 +57,10 @@ def _timed_fetch(run, seed):
     return time.perf_counter() - t0
 
 
-def _measure_slope(make_run, base_steps):
-    """Time jitted rollouts at scan lengths (1x, 2x, 4x) * base_steps.
+LINEARITY_BAND = (0.9, 1.1)
 
-    Returns a dict with the marginal per-step time (slope over the three
-    lengths), medians/stds, and the linearity check.
-    """
+
+def _measure_slope_once(make_run, base_steps):
     lengths = [base_steps, 2 * base_steps, 4 * base_steps]
     med = {}
     stats = {}
@@ -77,14 +74,42 @@ def _measure_slope(make_run, base_steps):
     slope12 = (med[s2] - med[s1]) / (s2 - s1)
     slope23 = (med[s3] - med[s2]) / (s3 - s2)
     slope = (med[s3] - med[s1]) / (s3 - s1)
+    lin = round(slope12 / slope23, 3) if slope23 > 0 else None
     return {
         "scan_lengths": lengths,
         "median_ms": {str(s): round(med[s] * 1e3, 3) for s in lengths},
         "std_ms": round(float(np.std(stats[s3])) * 1e3, 3),
         "per_step_us": round(slope * 1e6, 4),
-        "linearity_check": round(slope12 / slope23, 3) if slope23 > 0 else None,
+        "linearity_check": lin,
+        "linearity_ok": (lin is not None
+                         and LINEARITY_BAND[0] <= lin <= LINEARITY_BAND[1]),
         "dispatch_inclusive_s_per_run": round(med[s3], 4),
     }
+
+
+def _measure_slope(make_run, base_steps):
+    """Time jitted rollouts at scan lengths (1x, 2x, 4x) * base_steps.
+
+    Returns a dict with the marginal per-step time (slope over the three
+    lengths), medians/stds, and the linearity check.  A linearity ratio
+    outside LINEARITY_BAND means the slope is not measuring steady per-step
+    device work (e.g. dispatch-bound regression): the measurement is retried
+    once and the result carries ``linearity_ok`` so a silent regression
+    cannot ship as a clean headline.
+    """
+    r = _measure_slope_once(make_run, base_steps)
+    if not r["linearity_ok"]:
+        retry = _measure_slope_once(make_run, base_steps)
+        if (retry["linearity_check"] is not None
+                and abs(retry["linearity_check"] - 1.0)
+                < abs((r["linearity_check"] or 99) - 1.0)):
+            retry["retried"] = True
+            r = retry
+    if not r["linearity_ok"]:
+        print(f"WARNING: linearity_check {r['linearity_check']} outside "
+              f"{LINEARITY_BAND}; slope may not measure per-step work",
+              file=sys.stderr)
+    return r
 
 
 def bench_supplychain(cc, B):
@@ -184,6 +209,7 @@ def main():
         r["steps_per_s"] = round(B / (r["per_step_us"] * 1e-6), 1)
         steps_per_s[k] = r["steps_per_s"]
     details["per_config"] = results
+    details["linearity_ok"] = all(r.get("linearity_ok") for r in results.values())
 
     if os.environ.get("GST_PALLAS"):
         details["pallas"] = bench_pallas(B)

@@ -84,8 +84,15 @@ def main():
     B = 4096
     from gym_supplychain_tpu.envs.presets import (SupplyChainLinearEnv,
                                                   SupplyChainNtoMEnv)
+    usage = ("usage: unroll_experiment.py [<config> <unroll>]...  "
+             "config in {linear, ntom, beergame}")
+    if len(sys.argv[1:]) % 2 != 0:
+        raise SystemExit(usage + f" (got odd argument count: {sys.argv[1:]})")
     pairs = list(zip(sys.argv[1::2], [int(x) for x in sys.argv[2::2]])) or [
         ("linear", 1), ("linear", 4)]
+    for name, _ in pairs:
+        if name not in ("linear", "ntom", "beergame"):
+            raise SystemExit(usage + f" (unknown config {name!r})")
     out = {}
     for name, unroll in pairs:
         if name == "linear":

@@ -50,8 +50,11 @@ class PPOConfig(NamedTuple):
     # batches the step kernel is op-overhead bound, and unrolling lets XLA
     # fuse across consecutive env steps (linear chain measured ~10% faster
     # at unroll=4 on v5e; benchmarks/unroll_experiment.py).  Costs compile
-    # time proportional to the unroll factor.
-    rollout_unroll: int = 1
+    # time proportional to the unroll factor.  Defaults to 4 so the deployed
+    # trainer matches the benchmarked configuration (bench.py GST_UNROLL);
+    # the beer game measured no benefit, so make_beergame_ppo callers may
+    # pass 1.
+    rollout_unroll: int = 4
 
 
 class TrainState(NamedTuple):
@@ -107,8 +110,9 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
             return (env_state, out.obs), traj
 
         keys = jax.random.split(key, cfg.rollout_steps)
-        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys,
-                                                   unroll=cfg.rollout_unroll)
+        (env_state, last_obs), traj = jax.lax.scan(
+            body, (env_state, obs0), keys,
+            unroll=min(cfg.rollout_unroll, cfg.rollout_steps))
         _, _, last_value = actor_critic_forward(params, last_obs)
         return env_state, traj, last_value
 
@@ -252,8 +256,9 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
             return (env_state, _obs(env_state)), traj
 
         keys = jax.random.split(key, cfg.rollout_steps)
-        (env_state, last_obs), traj = jax.lax.scan(body, (env_state, obs0), keys,
-                                                   unroll=cfg.rollout_unroll)
+        (env_state, last_obs), traj = jax.lax.scan(
+            body, (env_state, obs0), keys,
+            unroll=min(cfg.rollout_unroll, cfg.rollout_steps))
         _, last_value = discrete_forward(params, last_obs, levels, max_order)
         return env_state, traj, last_value
 
