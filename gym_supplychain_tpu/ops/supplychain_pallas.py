@@ -1,27 +1,38 @@
-"""Pallas TPU kernel: whole-episode supply-chain rollout in one kernel.
+"""Pallas TPU kernels: whole-episode supply-chain rollouts in one kernel.
 
-Monte-Carlo episode sweeps (random-policy evaluation, the M4 workload) do
-not need per-step observations on the host — the entire episode can run as
-one Pallas program with every state buffer in VMEM: stock ``[N, P, B]``, the
-in-transit pipeline as a ring ``[R, N, P, B]`` (slot = t % R, R = H + 1),
-and the whole-episode demand table.  Actions are either drawn in-kernel from
-the TPU PRNG (``seed`` mode — zero input bandwidth) or read from a
-precomputed ``[T, A, B]`` table (parity testing against the scan engine).
+Three kernel families over one shared phase implementation:
+
+* **Episode sweeps** (``make_supplychain_episode_pallas``): per-step rewards
+  only — Monte-Carlo evaluation with actions from the on-chip PRNG or a
+  table.  State buffers live in VMEM: stock ``[N, P, B]``, the in-transit
+  pipeline as a ring ``[R, N, P, B]`` (slot = t % R, R = H + 1).
+* **Greedy policy-in-the-loop** (``make_supplychain_policy_rollout_pallas``):
+  obs -> MLP actor on the MXU -> tanh(mu) -> env step, whole episode fused.
+* **Trajectory collection** (``make_supplychain_collect_pallas``): the PPO
+  workload — every grid step writes its trajectory row (observation and
+  reward; plus pre-tanh action, log-prob and value in policy mode) to HBM
+  output blocks, runs ``episodes`` back-to-back with in-kernel auto-reset at
+  every episode boundary, and draws ALL stochastic inputs (demand rows,
+  lead-time rows, action/exploration noise) from the on-chip PRNG via the
+  same inverse-CDF transforms as the stateless scan path (rng/device.py;
+  distribution parity pinned by tests/test_rng_distribution.py).  Table-mode
+  variants take precomputed demand/lead-time/action/noise tables instead for
+  step-exact parity testing against the scan engine.
 
 Semantics mirror core/step.py phase-for-phase (reference
 supplychain_env.py:208-396): arrivals -> stock-capacity penalty -> supply ->
 sorted-cut ship with processing/ship clipping (including the reference's
 bug-compatible shared ship-capacity bookkeeping, SURVEY.md §2.1-4) ->
-retailer demand -> holding costs.  Per-step rewards ``[T, B]`` are the
-output.
+retailer demand -> holding costs.
 
 Stochastic lead-times take the per-episode table ``[T, K, B]`` as a kernel
-input and reproduce the reference's action-dependent column consumption
-(supplychain_env.py:252-254, :270, :344-348, :374-375; SURVEY.md §2.1-5):
-each node's supply column index advances only for supplied amounts > 0, and
-its transport columns start after the fired supplies, one per destination,
-shared across products.  Column gathers are unrolled one-hot selects over
-the K columns (K is a small static constant of the chain).
+input (or draw the rows in-kernel) and reproduce the reference's
+action-dependent column consumption (supplychain_env.py:252-254, :270,
+:344-348, :374-375; SURVEY.md §2.1-5): each node's supply column index
+advances only for supplied amounts > 0, and its transport columns start
+after the fired supplies, one per destination, shared across products.
+Column gathers are unrolled one-hot selects over the K columns (K is a
+small static constant of the chain).
 
 All node/product/destination loops are unrolled at trace time (they are
 small static constants of the compiled chain); the sorted cut uses an
@@ -31,6 +42,7 @@ destination order exactly like the reference's tuple sort.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,27 +51,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.compile import CompiledChain
+from ..rng.device import poisson_clip_thresholds
 
 __all__ = ["make_supplychain_episode_pallas",
-           "make_supplychain_policy_rollout_pallas"]
+           "make_supplychain_policy_rollout_pallas",
+           "make_supplychain_collect_pallas"]
+
+# tanh-Gaussian policy constants (models/policy.py LOG_STD_MIN/MAX)
+_LOG_STD_MIN, _LOG_STD_MAX = -5.0, 2.0
 
 
-def _uniform_pm1(shape):
-    """Random floats in [-1, 1) from the on-chip PRNG (bitcast trick)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # uint32 mantissa -> [1, 2) float via exponent splice (logical shift on
-    # uint32!), then affine to [-1, 1)
+def _uniform_bits_to_01(bits):
+    """uint32 random bits -> float32 in [0, 1) (exponent-splice trick)."""
     fbits = pltpu.bitcast(
         jnp.bitwise_or(jnp.right_shift(bits, jnp.uint32(9)),
                        jnp.uint32(0x3F800000)), jnp.float32)
-    return 2.0 * fbits - 3.0
+    return fbits - 1.0
+
+
+def _uniform_01(shape):
+    """Random floats in [0, 1) from the on-chip PRNG."""
+    return _uniform_bits_to_01(
+        pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32))
+
+
+def _uniform_pm1(shape):
+    """Random floats in [-1, 1) from the on-chip PRNG."""
+    return 2.0 * _uniform_01(shape) - 1.0
+
+
+def _box_muller(u1, u2):
+    """Two uniforms in [0,1) -> one standard normal (distribution parity
+    with the scan path's ndtri/jax.random.normal draws; not stream parity)."""
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))        # 1-u1 in (0, 1]
+    return r * jnp.cos((2.0 * math.pi) * u2)
+
+
+def _softplus(x):
+    """Numerically stable softplus for the tanh log-det correction."""
+    return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
 def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                           interpret: bool = False):
     """Build whole-episode rollout kernels for a compiled chain.
 
-    Returns ``(run_seeded, run_actions, build_policy_runner)``.
+    Returns ``(run_seeded, run_actions, build_policy_runner,
+    build_collect_runner)``.
     Constant lead-times:
     ``run_seeded(demands[T+1, R, P, B], seed)`` / ``run_actions(demands,
     actions[T, A, B])``.  Stochastic lead-times additionally take the
@@ -71,6 +109,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     stochastic = bool(cc.stochastic_leadtimes)
     Lavg, Lmax = int(cc.Lavg), int(cc.Lmax)
     RING = int(cc.H) + 1
+    O = int(cc.obs_dim)
     f32 = jnp.float32
     i32 = jnp.int32
 
@@ -111,9 +150,324 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     dem_min = np.asarray(cc.dem_min, np.float32)
     dem_rangev = np.asarray(cc.dem_range, np.float32)
 
+    lt_cdf = poisson_clip_thresholds(Lavg - 1, Lmax) if stochastic else None
+
+    def _gather_lt(lt_row, idx):
+        """One-hot gather: lt_row[K, B] int32, idx[B] int32 -> [B]."""
+        idxc = jnp.clip(idx, 0, K - 1)
+        out = jnp.zeros((B,), i32)
+        for k in range(K):
+            out = jnp.where(idxc == k, lt_row[k], out)
+        return out
+
+    # -- shared phase implementation (all kernels; op order is bit-pinned
+    # against core/step.py by the parity tests) ----------------------------
+    def _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t):
+        """One env step: mutates stock/ring refs, returns reward [B].
+
+        ``a`` [A, B] already in [0, 1]; ``dem_row`` [R, P, B];
+        ``lt_row`` [K, B] int32 (stochastic) or None; ``t`` traced step."""
+        slot = t % RING
+        reward = jnp.zeros((B,), f32)
+
+        # phase 1+2: arrivals, stock-capacity penalty ----------------------
+        stocks = []
+        for n in range(N):
+            cols = []
+            for p in range(P):
+                s = stock_ref[n, p] + ring_ref[slot, n, p]
+                if np.isfinite(stock_cap[n, p]):
+                    excess = jnp.maximum(s - stock_cap[n, p], 0.0)
+                    reward = reward - c_stock_pen * excess
+                    s = jnp.minimum(s, stock_cap[n, p])
+                cols.append(s)
+            stocks.append(cols)
+        ring_ref[slot] = jnp.zeros((N, P, B), f32)
+
+        # SHIP pipeline pushes accumulate as {(arrival_delay, n, p):
+        # amount} in edge order and are written back with one ring add
+        # per (delay, n, p) at the end of the step — supply pushes go to
+        # the ring DIRECTLY first, mirroring the scan engine's separate
+        # phase-3 and phase-4 adds (bit-exact parity requires the same
+        # FP add association)
+        upd = {}
+
+        def push(L, n, p, amt):
+            key = (L, n, p)
+            upd[key] = upd.get(key, 0) + amt
+
+        # phase 3: supply (:244-259).  Stochastic mode: per-node column
+        # counter advances only for fired (amount > 0) supplies.
+        nf_node = [None] * N         # per-node fired-supply count [B] i32
+        for n in range(N):
+            nf = jnp.zeros((B,), i32)
+            for p in range(P):
+                if not has_supply[n, p]:
+                    continue
+                amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
+                reward = reward - amt * supply_cost[n, p]
+                fired = amt > 0
+                if stochastic:
+                    lt = _gather_lt(lt_row, lt_base[n] + nf)
+                    nf = nf + fired.astype(i32)
+                    for L in range(1, Lmax + 1):
+                        s = (t + L) % RING
+                        ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
+                            fired & (lt == L), amt, 0.0)
+                else:
+                    s = (t + Lavg) % RING
+                    ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
+                        fired, amt, 0.0)
+            nf_node[n] = nf
+
+        # phase 4: ship (:262-375) ------------------------------------
+        for n in range(N):
+            if not has_ship[n].any():
+                continue
+            if stochastic:
+                # transport columns follow the fired supplies, one per
+                # destination, shared across products (:270, :344-348);
+                # only real edges are ever consumed, skip masked slots
+                lt_d = [_gather_lt(lt_row,
+                                   int(lt_base[n] + d) + nf_node[n])
+                        if edge_mask[n, d] else None
+                        for d in range(Dmax)]
+            avail_proc = jnp.full((B,), proc_cap[n], f32)
+            avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
+                          for d in range(Dmax)]
+            for p in range(P):
+                dvals = [jnp.where(edge_mask[n, d],
+                                   a[ship_act_idx[n, p, d]], 0.0)
+                         if has_ship[n, p] else jnp.zeros((B,), f32)
+                         for d in range(Dmax)]
+                avail_mat = stocks[n][p]
+                # sorted-cut (SC_Action.apply SHIP, :58-96): sort values
+                # ascending, ties by destination index; destination d's
+                # cut is the gap to its sort predecessor.  pred_d =
+                # max{v_e : (v_e, e) <lex (v_d, d)} and rank_d = |{e :
+                # (v_e, e) <lex (v_d, d)}| by unrolled pairwise passes,
+                # then the reference's SEQUENTIAL cumulative clamp over
+                # sorted positions (:86-87) with one-hot selection —
+                # the identical FP ops in the identical order as
+                # core/step.py, so results are bit-exact vs the scan
+                # engine (the clamp binds only on float rounding, but a
+                # single-ULP `amounts` difference flips the branchy
+                # capacity bookkeeping downstream, so op order matters)
+                cuts = [None] * Dmax
+                ranks = [None] * Dmax
+                for d in range(Dmax):
+                    pred = jnp.zeros((B,), f32)
+                    rank = jnp.zeros((B,), i32)
+                    for e in range(Dmax):
+                        if e == d:
+                            continue
+                        before = (dvals[e] <= dvals[d]) if e < d else \
+                                 (dvals[e] < dvals[d])
+                        pred = jnp.where(before,
+                                         jnp.maximum(pred, dvals[e]),
+                                         pred)
+                        rank = rank + before.astype(i32)
+                    cuts[d] = (dvals[d] - pred) * avail_mat
+                    ranks[d] = rank
+                availr = avail_mat
+                amounts = [jnp.zeros((B,), f32) for _ in range(Dmax)]
+                for k in range(Dmax):
+                    cut_k = jnp.zeros((B,), f32)
+                    for d in range(Dmax):
+                        cut_k = cut_k + jnp.where(ranks[d] == k,
+                                                  cuts[d], 0.0)
+                    amt_k = jnp.minimum(cut_k, availr)
+                    availr = availr - amt_k
+                    for d in range(Dmax):
+                        amounts[d] = amounts[d] + jnp.where(
+                            ranks[d] == k, amt_k, 0.0)
+
+                # processing clip (factories, :298-310)
+                if is_factory[n]:
+                    clipped = []
+                    for d in range(Dmax):
+                        ai = amounts[d]
+                        gate = ai > 0
+                        over = gate & (ai > avail_proc)
+                        reward = reward - c_proc_pen * jnp.where(
+                            over, ai - avail_proc, 0.0)
+                        ai2 = jnp.where(over, avail_proc, ai)
+                        avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
+                        clipped.append(ai2)
+                    to_ship = [c / proc_ratio[n, p] for c in clipped]
+                    amounts = clipped
+                else:
+                    to_ship = amounts
+
+                # ship clip, bug-compatible bookkeeping (:312-328)
+                leaving = jnp.zeros((B,), f32)
+                for d in range(Dmax):
+                    if not edge_mask[n, d]:
+                        continue
+                    a2 = to_ship[d]
+                    gate2 = (a2 > 0) & (a2 > avail_ship[d])
+                    reward = reward - c_ship_pen * jnp.where(
+                        gate2, a2 - avail_ship[d], 0.0)
+                    a2c = jnp.where(gate2, avail_ship[d], a2)
+                    raw = jnp.where(
+                        gate2,
+                        a2c * (proc_ratio[n, p] if is_factory[n] else 1.0),
+                        amounts[d])
+                    avail_ship[d] = avail_ship[d] - jnp.where(gate2, raw,
+                                                              0.0)
+                    leaving = leaving + raw
+                    reward = reward - a2c * ship_cost[n, p, d]
+                    dst = dst_of[(n, d)]
+                    # deliver into the destination pipeline (push only
+                    # if > 0, :343-348)
+                    if stochastic:
+                        for L in range(1, Lmax + 1):
+                            push(L, dst, p,
+                                 jnp.where((a2c > 0) & (lt_d[d] == L),
+                                           a2c, 0.0))
+                    else:
+                        # a2c can be negative once the bug-compatible
+                        # bookkeeping drives avail_ship below zero
+                        push(Lavg, dst, p, jnp.where(a2c > 0, a2c, 0.0))
+                stocks[n][p] = avail_mat - leaving
+                if is_factory[n]:
+                    reward = reward - leaving * proc_cost[n, p]
+
+        # phase 5: retailer demand (:378-387) -------------------------
+        for ri, n in enumerate(retailer_idx):
+            for p in range(P):
+                d = dem_row[ri, p]
+                ful = jnp.minimum(stocks[n][p], d)
+                stocks[n][p] = stocks[n][p] - ful
+                reward = reward - c_unmet * (d - ful)
+
+        # phase 6: holding costs (:389-394) + state writeback ---------
+        for n in range(N):
+            for p in range(P):
+                reward = reward - stocks[n][p] * stock_cost[n, p]
+                stock_ref[n, p] = stocks[n][p]
+        # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
+        for (L, n, p), amt in upd.items():
+            s = (t + L) % RING
+            ring_ref[s, n, p] = ring_ref[s, n, p] + amt
+
+        return reward
+
+    def _episode_init(stock_ref, ring_ref):
+        """Reference reset (:630-682): initial stock + seeded pipeline."""
+        for n in range(N):
+            for p in range(P):
+                stock_ref[n, p] = jnp.full((B,), init_stock[n, p], f32)
+        for r in range(RING):
+            for n in range(N):
+                for p in range(P):
+                    v = init_pipe[r - 1, n, p] \
+                        if 1 <= r <= init_pipe.shape[0] else 0.0
+                    # init_pipe[j] arrives at t=1+j -> ring slot 1+j
+                    ring_ref[r, n, p] = jnp.full((B,), v, f32)
+
+    def _obs_build(stock_ref, ring_ref, dem, t, te):
+        """Observation [O, B] from live VMEM state (mirrors core/step.py
+        obs_fn: state at episode step te, pipe[j] = ring[(t + j) % RING]).
+
+        ``dem`` [R, P, B] current demand row; ``te`` episode step (for the
+        remaining-time feature); ``t = te + 1``."""
+        rows = []
+        for r in range(R):
+            for p in range(P):
+                rows.append((dem[r, p] - dem_min[p]) / dem_rangev[p])
+        for n in range(N):
+            for p in range(P):
+                # direct division like the reference (:433);
+                # x / inf -> 0 for unbounded capacity
+                rows.append(stock_ref[n, p] / stock_cap[n, p])
+            for p in range(P):
+                for j in range(Lavg - 1):
+                    pj = ring_ref[(t + j) % RING, n, p]
+                    rows.append(pj / ms_safe[n, p]
+                                if ms_ok[n, p] else jnp.zeros((B,), f32))
+                tail = jnp.zeros((B,), f32)
+                for j in range(Lavg - 1, RING - 1):
+                    tail = tail + ring_ref[(t + j) % RING, n, p]
+                rows.append(tail / (ms_safe[n, p] * (Lmax - (Lavg - 1)))
+                            if ms_ok[n, p] else jnp.zeros((B,), f32))
+        remaining = (T - te).astype(f32) / T
+        rows.append(jnp.broadcast_to(remaining, (B,)))
+        obs = jnp.clip(2.0 * jnp.stack(rows) - 1.0, -1.0, 1.0)
+        assert obs.shape == (O, B), (obs.shape, O, B)
+        return obs
+
+    def _mlp(w_refs, x):
+        """tanh-MLP trunk + linear head: [w0,b0,...,wk,bk] -> head output."""
+        n = len(w_refs)
+        for li in range(0, n - 2, 2):
+            x = jnp.tanh(
+                jax.lax.dot(w_refs[li][...], x,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+                + w_refs[li + 1][...])
+        return (jax.lax.dot(w_refs[n - 2][...], x,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=f32)
+                + w_refs[n - 1][...])
+
+    # -- in-kernel stochastic input rows (distribution parity with
+    # rng/device.py stateless_step_rows; pinned by test_rng_distribution) --
+    any_normal_demand = any(
+        (cfg.std is not None) if cfg.sen_peaks is None else cfg.perturb_norm
+        for cfg in cc.demand)
+
+    def _demand_from_u(u, u2, cfg, te):
+        """[R, B] uniforms (+ second uniforms for normal paths) -> demand
+        row (the in-kernel analogue of rng/device.py _demand_from_uniform;
+        normals come from Box-Muller instead of ndtri — same distribution)."""
+        if cfg.sen_peaks is None and cfg.std is None:
+            n = cfg.maxv - cfg.minv + 1
+            return jnp.floor(u * n) + cfg.minv
+        if cfg.sen_peaks is None:
+            d = _box_muller(u, u2) * cfg.std + (cfg.maxv + cfg.minv) / 2
+            return jnp.round(jnp.clip(d, cfg.minv, cfg.maxv))
+        std = 0.0 if cfg.std is None else cfg.std
+        if cfg.perturb_norm:
+            perturb = _box_muller(u, u2) * std
+        else:
+            lo, hi = int(-3 * std), int(3 * std)
+            perturb = jnp.floor(u * (hi - lo + 1)) + lo
+        half = (cfg.maxavg - cfg.minavg) / 2
+        base = cfg.minavg + half * (
+            1 + jnp.sin(cfg.sen_peaks * 2 * math.pi * te.astype(f32) / T))
+        return jnp.round(jnp.clip(base + perturb, cfg.minv, cfg.maxv))
+
+    def _draw_step_inputs(te):
+        """Draw this step's demand row [R, P, B] and lead-time row [K, B]
+        from the (already seeded) on-chip PRNG."""
+        kk = K if stochastic else 0
+        u = _uniform_01((kk + R * P, B))
+        u2 = _uniform_01((R * P, B)) if any_normal_demand else None
+        lt_row = None
+        if stochastic:
+            lt = jnp.ones((K, B), i32)
+            for j in range(lt_cdf.shape[0]):
+                lt = lt + (u[:K] >= lt_cdf[j]).astype(i32)
+            lt_row = lt
+        cols = []
+        for p in range(P):
+            cfg = cc.demand[p if cc.demand_by_product else 0]
+            # row layout matches stateless_step_rows: u[K:].reshape(R, P)
+            up = jnp.stack([u[kk + r * P + p] for r in range(R)])
+            up2 = (jnp.stack([u2[r * P + p] for r in range(R)])
+                   if u2 is not None else None)
+            cols.append(_demand_from_u(up, up2, cfg, te))
+        dem_row = jnp.stack(cols, axis=1)                   # [R, P, B]
+        return dem_row, lt_row
+
+    # ------------------------------------------------------------------
+    # kernel bodies
+    # ------------------------------------------------------------------
     def _kernel(*refs, mode: str, n_w: int = 0):
         """mode: 'seeded' (in-kernel PRNG actions), 'actions' (action table),
-        'policy' (obs -> MLP actor -> tanh greedy action, all in-kernel)."""
+        'policy' (obs -> MLP actor -> tanh greedy action, all in-kernel).
+        Single episode, per-step rewards only."""
         seeded = mode == "seeded"
         i = 0
         demand_ref = refs[i]; i += 1
@@ -128,274 +482,123 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             act_ref = refs[i]; i += 1
         reward_ref, stock_ref, ring_ref = refs[i:i + 3]
 
-        def _gather_lt(lt_row, idx):
-            """One-hot gather: lt_row[K, B] int32, idx[B] int32 -> [B]."""
-            idxc = jnp.clip(idx, 0, K - 1)
-            out = jnp.zeros((B,), i32)
-            for k in range(K):
-                out = jnp.where(idxc == k, lt_row[k], out)
-            return out
-
         # one grid step per episode step: the big [T, ...] tables stay in
         # HBM and pallas pipelines each step's block into VMEM, so VMEM use
         # is O(state), not O(T * B) (a whole-episode ntom table set is
         # ~100 MB at B=4096 — far past the scoped-VMEM limit)
         ti = pl.program_id(0)
 
-        # --- episode init (reference reset, :630-682) on the first step ---
         @pl.when(ti == 0)
         def _init():
-            for n in range(N):
-                for p in range(P):
-                    stock_ref[n, p] = jnp.full((B,), init_stock[n, p], f32)
-            for r in range(RING):
-                for n in range(N):
-                    for p in range(P):
-                        v = init_pipe[r - 1, n, p] \
-                            if 1 <= r <= init_pipe.shape[0] else 0.0
-                        # init_pipe[j] arrives at t=1+j -> ring slot 1+j
-                        ring_ref[r, n, p] = jnp.full((B,), v, f32)
+            _episode_init(stock_ref, ring_ref)
 
-        if True:
-            t = ti + 1
-            slot = t % RING
-            if seeded:
-                # distinct per-step stream from (seed, step): the PRNG state
-                # does not persist across grid steps
-                pltpu.prng_seed(act_ref[0], ti)
-                a = _uniform_pm1((A, B))
-            elif mode == "policy":
-                # --- fused policy-in-the-loop: build the observation from
-                # the live VMEM state (mirrors core/step.py obs_fn: state at
-                # scan-time ti, pipe[j] = ring[(t + j) % RING]) and run the
-                # MLP actor on the MXU, greedy action = tanh(mu) ----------
-                dem = demand_ref[0]                                # [R,P,B]
-                rows = []
-                for r in range(R):
-                    for p in range(P):
-                        rows.append((dem[r, p] - dem_min[p]) / dem_rangev[p])
-                for n in range(N):
-                    for p in range(P):
-                        # direct division like the reference (:433);
-                        # x / inf -> 0 for unbounded capacity
-                        rows.append(stock_ref[n, p] / stock_cap[n, p])
-                    for p in range(P):
-                        for j in range(Lavg - 1):
-                            pj = ring_ref[(t + j) % RING, n, p]
-                            rows.append(pj / ms_safe[n, p]
-                                        if ms_ok[n, p] else jnp.zeros((B,), f32))
-                        tail = jnp.zeros((B,), f32)
-                        for j in range(Lavg - 1, RING - 1):
-                            tail = tail + ring_ref[(t + j) % RING, n, p]
-                        rows.append(tail / (ms_safe[n, p] * (Lmax - (Lavg - 1)))
-                                    if ms_ok[n, p] else jnp.zeros((B,), f32))
-                remaining = (T - ti).astype(f32) / T
-                rows.append(jnp.broadcast_to(remaining, (B,)))
-                obs = jnp.clip(2.0 * jnp.stack(rows) - 1.0, -1.0, 1.0)
+        t = ti + 1
+        if seeded:
+            # distinct per-step stream from (seed, step): the PRNG state
+            # does not persist across grid steps
+            pltpu.prng_seed(act_ref[0], ti)
+            a = _uniform_pm1((A, B))
+        elif mode == "policy":
+            dem = demand_ref[0]                                # [R,P,B]
+            obs = _obs_build(stock_ref, ring_ref, dem, t, ti)
+            mu = _mlp(w_refs, obs)
+            a = jnp.tanh(mu)
+        else:
+            a = act_ref[0]                                    # [A,B]
+        a = (a + 1.0) * 0.5
+        lt_row = lt_ref[0] if stochastic else None            # [K,B]
+        reward = _env_phases(stock_ref, ring_ref, a,
+                             lt_row, demand_ref[0], t)
+        reward_ref[0, 0] = reward
 
-                x = obs
-                for li in range(0, n_w - 2, 2):
-                    x = jnp.tanh(
-                        jax.lax.dot(w_refs[li][...], x,
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=f32)
-                        + w_refs[li + 1][...])
-                mu = (jax.lax.dot(w_refs[n_w - 2][...], x,
-                                  precision=jax.lax.Precision.HIGHEST,
-                                  preferred_element_type=f32)
-                      + w_refs[n_w - 1][...])
-                a = jnp.tanh(mu)
+    def _collect_kernel(*refs, mode: str, n_w: int = 0):
+        """Trajectory-emitting rollout over ``episodes`` back-to-back
+        episodes (auto-reset at each boundary).
+
+        mode: 'random' (PRNG actions + PRNG inputs; the headline workload),
+        'actions' (tables; parity), 'policy' (PRNG inputs + sampled MLP
+        policy; the PPO collection workload), 'policy_eps' (tables + noise
+        table; parity)."""
+        prng_inputs = mode in ("random", "policy")
+        policy = mode in ("policy", "policy_eps")
+        i = 0
+        demand_ref = lt_ref = act_ref = eps_ref = seed_ref = None
+        if not prng_inputs:
+            demand_ref = refs[i]; i += 1
+            if stochastic:
+                lt_ref = refs[i]; i += 1
+            if mode == "actions":
+                act_ref = refs[i]; i += 1
             else:
-                a = act_ref[0]                                    # [A,B]
-            a = (a + 1.0) * 0.5
-            lt_row = lt_ref[0] if stochastic else None            # [K,B]
+                eps_ref = refs[i]; i += 1
+        else:
+            seed_ref = refs[i]; i += 1
+        if policy:
+            w_refs = refs[i:i + n_w]; i += n_w
+        if policy:
+            (obs_ref, actout_ref, logp_ref, value_ref, reward_ref,
+             stock_ref, ring_ref) = refs[i:i + 7]
+        else:
+            obs_ref, reward_ref, stock_ref, ring_ref = refs[i:i + 4]
 
-            reward = jnp.zeros((B,), f32)
+        ti = pl.program_id(0)
+        te = ti % T                      # step within the current episode
+        t = te + 1
 
-            # phase 1+2: arrivals, stock-capacity penalty ------------------
-            stocks = []
-            for n in range(N):
-                cols = []
-                for p in range(P):
-                    s = stock_ref[n, p] + ring_ref[slot, n, p]
-                    if np.isfinite(stock_cap[n, p]):
-                        excess = jnp.maximum(s - stock_cap[n, p], 0.0)
-                        reward = reward - c_stock_pen * excess
-                        s = jnp.minimum(s, stock_cap[n, p])
-                    cols.append(s)
-                stocks.append(cols)
-            ring_ref[slot] = jnp.zeros((N, P, B), f32)
+        @pl.when(te == 0)
+        def _init():
+            _episode_init(stock_ref, ring_ref)
 
-            # SHIP pipeline pushes accumulate as {(arrival_delay, n, p):
-            # amount} in edge order and are written back with one ring add
-            # per (delay, n, p) at the end of the step — supply pushes go to
-            # the ring DIRECTLY first, mirroring the scan engine's separate
-            # phase-3 and phase-4 adds (bit-exact parity requires the same
-            # FP add association)
-            upd = {}
+        if prng_inputs:
+            pltpu.prng_seed(seed_ref[0], ti)
+            dem_row, lt_row = _draw_step_inputs(te)
+        else:
+            dem_row = demand_ref[0]
+            lt_row = lt_ref[0] if stochastic else None
 
-            def push(L, n, p, amt):
-                key = (L, n, p)
-                upd[key] = upd.get(key, 0) + amt
+        obs = _obs_build(stock_ref, ring_ref, dem_row, t, te)
+        obs_ref[0] = obs
 
-            # phase 3: supply (:244-259).  Stochastic mode: per-node column
-            # counter advances only for fired (amount > 0) supplies.
-            nf_node = [None] * N         # per-node fired-supply count [B] i32
-            for n in range(N):
-                nf = jnp.zeros((B,), i32)
-                for p in range(P):
-                    if not has_supply[n, p]:
-                        continue
-                    amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
-                    reward = reward - amt * supply_cost[n, p]
-                    fired = amt > 0
-                    if stochastic:
-                        lt = _gather_lt(lt_row, lt_base[n] + nf)
-                        nf = nf + fired.astype(i32)
-                        for L in range(1, Lmax + 1):
-                            s = (t + L) % RING
-                            ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                                fired & (lt == L), amt, 0.0)
-                    else:
-                        s = (t + Lavg) % RING
-                        ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                            fired, amt, 0.0)
-                nf_node[n] = nf
+        if mode == "random":
+            a_raw = _uniform_pm1((A, B))
+        elif mode == "actions":
+            a_raw = act_ref[0]
+        else:
+            # sampled tanh-Gaussian policy (models/policy.py
+            # sample_tanh_gaussian): actor trunk+mu on the MXU, noise from
+            # the on-chip PRNG (Box-Muller) or the parity table.
+            # weight layout (_flat_actor_critic): actor trunk + mu head
+            # (2L+2), critic trunk + v head (2L+2), log_std (1)
+            n_actor = (n_w - 1) // 2
+            actor_w = w_refs[:n_actor]
+            critic_w = w_refs[n_actor:n_w - 1]
+            log_std_ref = w_refs[n_w - 1]
+            mu = _mlp(actor_w, obs)                           # [A,B]
+            log_std = jnp.clip(log_std_ref[...], _LOG_STD_MIN, _LOG_STD_MAX)
+            std = jnp.exp(log_std)                            # [A,1]
+            if mode == "policy":
+                eps = _box_muller(_uniform_01((A, B)), _uniform_01((A, B)))
+            else:
+                eps = eps_ref[0]
+            pre = mu + std * eps
+            a_raw = jnp.tanh(pre)
+            # tanh-Gaussian log-density (models/policy.py tanh_gaussian_logp)
+            g = -0.5 * (((pre - mu) / std) ** 2 + 2 * log_std
+                        + math.log(2 * math.pi))
+            corr = 2 * (math.log(2.0) - pre - _softplus(-2.0 * pre))
+            logp = (g - corr).sum(axis=0)
+            v = _mlp(critic_w, obs)                           # [1,B]
+            actout_ref[0] = pre
+            logp_ref[0, 0] = logp
+            value_ref[0, 0] = v[0]
 
-            # phase 4: ship (:262-375) ------------------------------------
-            for n in range(N):
-                if not has_ship[n].any():
-                    continue
-                if stochastic:
-                    # transport columns follow the fired supplies, one per
-                    # destination, shared across products (:270, :344-348);
-                    # only real edges are ever consumed, skip masked slots
-                    lt_d = [_gather_lt(lt_row,
-                                       int(lt_base[n] + d) + nf_node[n])
-                            if edge_mask[n, d] else None
-                            for d in range(Dmax)]
-                avail_proc = jnp.full((B,), proc_cap[n], f32)
-                avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
-                              for d in range(Dmax)]
-                for p in range(P):
-                    dvals = [jnp.where(edge_mask[n, d],
-                                       a[ship_act_idx[n, p, d]], 0.0)
-                             if has_ship[n, p] else jnp.zeros((B,), f32)
-                             for d in range(Dmax)]
-                    avail_mat = stocks[n][p]
-                    # sorted-cut (SC_Action.apply SHIP, :58-96): sort values
-                    # ascending, ties by destination index; destination d's
-                    # cut is the gap to its sort predecessor.  pred_d =
-                    # max{v_e : (v_e, e) <lex (v_d, d)} and rank_d = |{e :
-                    # (v_e, e) <lex (v_d, d)}| by unrolled pairwise passes,
-                    # then the reference's SEQUENTIAL cumulative clamp over
-                    # sorted positions (:86-87) with one-hot selection —
-                    # the identical FP ops in the identical order as
-                    # core/step.py, so results are bit-exact vs the scan
-                    # engine (the clamp binds only on float rounding, but a
-                    # single-ULP `amounts` difference flips the branchy
-                    # capacity bookkeeping downstream, so op order matters)
-                    cuts = [None] * Dmax
-                    ranks = [None] * Dmax
-                    for d in range(Dmax):
-                        pred = jnp.zeros((B,), f32)
-                        rank = jnp.zeros((B,), i32)
-                        for e in range(Dmax):
-                            if e == d:
-                                continue
-                            before = (dvals[e] <= dvals[d]) if e < d else \
-                                     (dvals[e] < dvals[d])
-                            pred = jnp.where(before,
-                                             jnp.maximum(pred, dvals[e]),
-                                             pred)
-                            rank = rank + before.astype(i32)
-                        cuts[d] = (dvals[d] - pred) * avail_mat
-                        ranks[d] = rank
-                    availr = avail_mat
-                    amounts = [jnp.zeros((B,), f32) for _ in range(Dmax)]
-                    for k in range(Dmax):
-                        cut_k = jnp.zeros((B,), f32)
-                        for d in range(Dmax):
-                            cut_k = cut_k + jnp.where(ranks[d] == k,
-                                                      cuts[d], 0.0)
-                        amt_k = jnp.minimum(cut_k, availr)
-                        availr = availr - amt_k
-                        for d in range(Dmax):
-                            amounts[d] = amounts[d] + jnp.where(
-                                ranks[d] == k, amt_k, 0.0)
+        a = (a_raw + 1.0) * 0.5
+        reward = _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t)
+        reward_ref[0, 0] = reward
 
-                    # processing clip (factories, :298-310)
-                    if is_factory[n]:
-                        clipped = []
-                        for d in range(Dmax):
-                            ai = amounts[d]
-                            gate = ai > 0
-                            over = gate & (ai > avail_proc)
-                            reward = reward - c_proc_pen * jnp.where(
-                                over, ai - avail_proc, 0.0)
-                            ai2 = jnp.where(over, avail_proc, ai)
-                            avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
-                            clipped.append(ai2)
-                        to_ship = [c / proc_ratio[n, p] for c in clipped]
-                        amounts = clipped
-                    else:
-                        to_ship = amounts
-
-                    # ship clip, bug-compatible bookkeeping (:312-328)
-                    leaving = jnp.zeros((B,), f32)
-                    for d in range(Dmax):
-                        if not edge_mask[n, d]:
-                            continue
-                        a2 = to_ship[d]
-                        gate2 = (a2 > 0) & (a2 > avail_ship[d])
-                        reward = reward - c_ship_pen * jnp.where(
-                            gate2, a2 - avail_ship[d], 0.0)
-                        a2c = jnp.where(gate2, avail_ship[d], a2)
-                        raw = jnp.where(
-                            gate2,
-                            a2c * (proc_ratio[n, p] if is_factory[n] else 1.0),
-                            amounts[d])
-                        avail_ship[d] = avail_ship[d] - jnp.where(gate2, raw,
-                                                                  0.0)
-                        leaving = leaving + raw
-                        reward = reward - a2c * ship_cost[n, p, d]
-                        dst = dst_of[(n, d)]
-                        # deliver into the destination pipeline (push only
-                        # if > 0, :343-348)
-                        if stochastic:
-                            for L in range(1, Lmax + 1):
-                                push(L, dst, p,
-                                     jnp.where((a2c > 0) & (lt_d[d] == L),
-                                               a2c, 0.0))
-                        else:
-                            # a2c can be negative once the bug-compatible
-                            # bookkeeping drives avail_ship below zero
-                            push(Lavg, dst, p, jnp.where(a2c > 0, a2c, 0.0))
-                    stocks[n][p] = avail_mat - leaving
-                    if is_factory[n]:
-                        reward = reward - leaving * proc_cost[n, p]
-
-            # phase 5: retailer demand (:378-387) -------------------------
-            dem_row = demand_ref[0]                               # [R,P,B]
-            for ri, n in enumerate(retailer_idx):
-                for p in range(P):
-                    d = dem_row[ri, p]
-                    ful = jnp.minimum(stocks[n][p], d)
-                    stocks[n][p] = stocks[n][p] - ful
-                    reward = reward - c_unmet * (d - ful)
-
-            # phase 6: holding costs (:389-394) + state writeback ---------
-            for n in range(N):
-                for p in range(P):
-                    reward = reward - stocks[n][p] * stock_cost[n, p]
-                    stock_ref[n, p] = stocks[n][p]
-            # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
-            for (L, n, p), amt in upd.items():
-                s = (t + L) % RING
-                ring_ref[s, n, p] = ring_ref[s, n, p] + amt
-
-            reward_ref[0, 0] = reward
-
+    # ------------------------------------------------------------------
+    # pallas_call builders
+    # ------------------------------------------------------------------
     def _build(mode, n_w=0):
         kernel = functools.partial(_kernel, mode=mode, n_w=n_w)
         # grid over episode steps; per-step rows of the HBM-resident tables
@@ -427,6 +630,67 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         )
         return lambda *args: call(*args).squeeze(1)
 
+    def _build_collect(mode, episodes: int, n_w=0):
+        kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w)
+        S = episodes * T
+        prng_inputs = mode in ("random", "policy")
+        policy = mode in ("policy", "policy_eps")
+        in_specs = []
+        if not prng_inputs:
+            in_specs.append(pl.BlockSpec((1, R, P, B), lambda t: (t, 0, 0, 0)))
+            if stochastic:
+                in_specs.append(pl.BlockSpec((1, K, B), lambda t: (t, 0, 0)))
+            in_specs.append(pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)))
+        else:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        if policy:
+            in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in range(n_w))
+        out_shapes = [jax.ShapeDtypeStruct((S, O, B), f32)]
+        out_specs = [pl.BlockSpec((1, O, B), lambda t: (t, 0, 0))]
+        if policy:
+            out_shapes += [jax.ShapeDtypeStruct((S, A, B), f32),
+                           jax.ShapeDtypeStruct((S, 1, B), f32),
+                           jax.ShapeDtypeStruct((S, 1, B), f32)]
+            out_specs += [pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)),
+                          pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
+                          pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
+        out_shapes.append(jax.ShapeDtypeStruct((S, 1, B), f32))
+        out_specs.append(pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)))
+        return pl.pallas_call(
+            kernel,
+            grid=(S,),
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((N, P, B), f32),          # stock
+                pltpu.VMEM((RING, N, P, B), f32),    # pipeline ring
+            ],
+            interpret=interpret,
+        )
+
+    def _flat_actor(params):
+        flat = []
+        for layer in params["actor"]:
+            flat += [jnp.asarray(layer["w"], f32),
+                     jnp.asarray(layer["b"], f32)]
+        flat += [jnp.asarray(params["mu"]["w"], f32),
+                 jnp.asarray(params["mu"]["b"], f32)]
+        return flat
+
+    def _flat_actor_critic(params):
+        """actor trunk+mu, then critic trunk+v, then log_std — the
+        'policy'/'policy_eps' collect weight layout."""
+        flat = _flat_actor(params)
+        for layer in params["critic"]:
+            flat += [jnp.asarray(layer["w"], f32),
+                     jnp.asarray(layer["b"], f32)]
+        flat += [jnp.asarray(params["v"]["w"], f32),
+                 jnp.asarray(params["v"]["b"], f32),
+                 jnp.asarray(params["log_std"], f32)]
+        return flat
+
     def build_policy_runner(hidden):
         """Fused greedy-policy rollout: obs -> MLP actor -> tanh(mu) -> env
         step, the whole episode in one kernel.  Takes the init_actor_critic
@@ -435,12 +699,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         policy_call = _build("policy", n_w=n_w)
 
         def _flat(params):
-            flat = []
-            for layer in params["actor"]:
-                flat += [jnp.asarray(layer["w"], f32),
-                         jnp.asarray(layer["b"], f32)]
-            flat += [jnp.asarray(params["mu"]["w"], f32),
-                     jnp.asarray(params["mu"]["b"], f32)]
+            flat = _flat_actor(params)
             assert len(flat) == n_w, (len(flat), n_w)
             return flat
 
@@ -455,6 +714,72 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 """demands[T+1,R,P,B], params -> rewards [T,B]."""
                 return policy_call(jnp.asarray(demands, f32), *_flat(params))
         return jax.jit(run_policy)
+
+    def build_collect_runner(mode, episodes, hidden=None):
+        """Trajectory-collection runners (see ``_collect_kernel``).
+
+        * 'random': ``run(seed) -> (obs [S,O,B], rewards [S,B])``
+        * 'actions': ``run(demands[S,...], [leadtimes[S,K,B],]
+          actions[S,A,B]) -> (obs, rewards)`` (parity vs the scan engine;
+          grid step t reads table row t, so episodes>1 takes tiled tables)
+        * 'policy': ``run(params, seed) -> (obs, act_pre [S,A,B], logp [S,B],
+          value [S,B], rewards [S,B])``
+        * 'policy_eps': ``run(demands, [leadtimes,] eps[S,A,B], params)``
+          (parity vs the scan PPO rollout; tiled tables as in 'actions')
+        where S = episodes * T.
+        """
+        policy = mode in ("policy", "policy_eps")
+        n_w = (4 * len(hidden) + 5) if policy else 0
+        call = _build_collect(mode, episodes, n_w=n_w)
+
+        def _squeeze(outs):
+            outs = list(outs)
+            outs[0] = outs[0]                       # obs [S,O,B]
+            for j in range(1, len(outs)):
+                if outs[j].shape[1] == 1:
+                    outs[j] = outs[j].squeeze(1)
+            return tuple(outs)
+
+        if mode == "random":
+            @jax.jit
+            def run(seed):
+                return _squeeze(call(jnp.asarray(seed, i32).reshape(1)))
+        elif mode == "actions":
+            # episodes > 1 takes S-row (tiled) tables: grid step t reads row t
+            if stochastic:
+                @jax.jit
+                def run(demands, leadtimes, actions):
+                    return _squeeze(call(jnp.asarray(demands, f32),
+                                         jnp.asarray(leadtimes, i32),
+                                         jnp.asarray(actions, f32)))
+            else:
+                @jax.jit
+                def run(demands, actions):
+                    return _squeeze(call(jnp.asarray(demands, f32),
+                                         jnp.asarray(actions, f32)))
+        elif mode == "policy":
+            def run(params, seed):
+                flat = _flat_actor_critic(params)
+                assert len(flat) == n_w, (len(flat), n_w)
+                return _squeeze(call(jnp.asarray(seed, i32).reshape(1),
+                                     *flat))
+            run = jax.jit(run)
+        else:   # policy_eps; episodes > 1 takes S-row (tiled) tables
+            if stochastic:
+                def run(demands, leadtimes, eps, params):
+                    flat = _flat_actor_critic(params)
+                    assert len(flat) == n_w, (len(flat), n_w)
+                    return _squeeze(call(jnp.asarray(demands, f32),
+                                         jnp.asarray(leadtimes, i32),
+                                         jnp.asarray(eps, f32), *flat))
+            else:
+                def run(demands, eps, params):
+                    flat = _flat_actor_critic(params)
+                    assert len(flat) == n_w, (len(flat), n_w)
+                    return _squeeze(call(jnp.asarray(demands, f32),
+                                         jnp.asarray(eps, f32), *flat))
+            run = jax.jit(run)
+        return run
 
     seeded_call = _build("seeded")
     actions_call = _build("actions")
@@ -486,7 +811,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             return actions_call(jnp.asarray(demands, f32),
                                 jnp.asarray(actions, f32))
 
-    return run_seeded, run_actions, build_policy_runner
+    return run_seeded, run_actions, build_policy_runner, build_collect_runner
 
 
 def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
@@ -494,7 +819,7 @@ def make_supplychain_episode_pallas(cc: CompiledChain, T: int, B: int,
     """Whole-episode rollout kernels; see ``_make_episode_runners``.
 
     Returns ``(run_seeded, run_actions)`` (docstring above)."""
-    run_seeded, run_actions, _ = _make_episode_runners(cc, T, B, interpret)
+    run_seeded, run_actions, _, _ = _make_episode_runners(cc, T, B, interpret)
     return run_seeded, run_actions
 
 
@@ -511,5 +836,26 @@ def make_supplychain_policy_rollout_pallas(cc: CompiledChain, T: int, B: int,
 
     Returns ``run_policy(demands, [leadtimes,] params) -> rewards [T, B]``.
     """
-    _, _, build = _make_episode_runners(cc, T, B, interpret)
+    _, _, build, _ = _make_episode_runners(cc, T, B, interpret)
     return build(tuple(hidden))
+
+
+def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
+                                    mode: str = "random", episodes: int = 1,
+                                    hidden=(128, 128),
+                                    interpret: bool = False):
+    """Trajectory-emitting fused rollout (VERDICT r2 item 1).
+
+    Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
+    auto-reset, writing each step's trajectory row to HBM output blocks —
+    the PPO-collection workload with zero per-step dispatch and all state
+    in VMEM.  ``mode='random'`` (headline: PRNG actions + PRNG stochastic
+    inputs, emits obs + rewards), ``'policy'`` (sampled tanh-Gaussian MLP
+    policy, emits obs/act_pre/logp/value/rewards), ``'actions'`` /
+    ``'policy_eps'`` (table-driven single-episode parity variants).
+
+    See ``_make_episode_runners.build_collect_runner`` for signatures.
+    """
+    _, _, _, build_collect = _make_episode_runners(cc, T, B, interpret)
+    return build_collect(mode, episodes,
+                         tuple(hidden) if hidden is not None else None)
