@@ -277,6 +277,103 @@ def _bench_policy_rollout(name, B, repeats, hidden=(128, 128)):
     }
 
 
+def _bench_collect(name, B, repeats, hidden=(128, 128)):
+    """Trajectory-emitting fused collect kernel (VERDICT r2 item 1).
+
+    Compiled parity: the table-driven 'actions' mode must reproduce the scan
+    engine's per-step (obs, reward) trajectory on-device (interpret-mode
+    parity incl. the 'policy_eps' PPO tuple lives in
+    tests/test_pallas_collect.py; here the TPU-compiled kernel is checked).
+    Timing: the PRNG modes under the honest slope protocol — per-episode ms
+    = slope of wall time over episodes-per-dispatch, every step's obs (and
+    in policy mode act/logp/value) written to HBM, in-kernel auto-reset at
+    episode boundaries.  'random' is the headline collection workload;
+    'policy' is the PPO collection workload (sampled tanh-Gaussian MLP)."""
+    import jax
+    import jax.numpy as jnp
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    from gym_supplychain_tpu.models.policy import (MLPConfig,
+                                                   init_actor_critic)
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_collect_pallas)
+
+    T = 360
+    cc = sct.make(name, total_time_steps=T).cc
+
+    # ---- compiled parity: 'actions' mode vs the scan engine --------------
+    Bp = 256
+    run_par = make_supplychain_collect_pallas(cc, T, Bp, mode="actions")
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+
+    @jax.jit
+    def parity(seed):
+        kd, kl, ka = jax.random.split(jax.random.PRNGKey(seed), 3)
+        demands = jax.random.randint(
+            kd, (T + 1, cc.R, cc.P, Bp), 0, 25).astype(jnp.float32)
+        lt = (jax.random.randint(kl, (T, cc.K, Bp), 1, cc.Lmax + 1,
+                                 jnp.int32)
+              if cc.stochastic_leadtimes else None)
+        actions = jax.random.uniform(ka, (T, cc.A, Bp), jnp.float32,
+                                     -1.0, 1.0)
+        pal_obs, pal_rew = (run_par(demands, lt, actions)
+                            if cc.stochastic_leadtimes
+                            else run_par(demands, actions))
+        st = reset_fn(demands, lt, Bp)
+
+        def body(carry, a):
+            st, obs = carry
+            st, out = step_fn(st, a)
+            return (st, out.obs), (obs, out.reward)
+
+        (_, _), (ref_obs, ref_rew) = jax.lax.scan(
+            body, (st, obs_fn(st)), actions)
+        obs_err = jnp.abs(pal_obs - ref_obs).max()
+        rew_err = jnp.abs(pal_rew - ref_rew).max()
+        return obs_err, rew_err, jnp.abs(ref_rew).max()
+
+    # ---- timing: PRNG modes, slope over episodes-per-dispatch ------------
+    def make_run(mode, eps):
+        kw = {"hidden": hidden} if mode == "policy" else {}
+        run = make_supplychain_collect_pallas(cc, T, B, mode=mode,
+                                              episodes=eps, **kw)
+        if mode == "policy":
+            params = init_actor_critic(jax.random.PRNGKey(1),
+                                       MLPConfig(cc.obs_dim, cc.A, hidden))
+
+            @jax.jit
+            def fn(seed):
+                outs = run(params, seed)
+                return sum(o.sum() for o in outs)
+        else:
+            @jax.jit
+            def fn(seed):
+                obs, rew = run(seed)
+                return obs.sum() + rew.sum()
+        return fn
+
+    out = {}
+    for mode in ("random", "policy"):
+        ms = _per_episode_ms(lambda e, m=mode: make_run(m, e), repeats,
+                             ep_counts=(1, 4, 16))
+        out[mode] = {
+            "per_episode_ms": round(ms, 4),
+            "per_step_us": round(ms / T * 1e3, 4),
+            "steps_per_s": round(T * B / (ms * 1e-3), 1),
+        }
+    out["policy"]["hidden"] = list(hidden)
+    obs_err, rew_err, scale = (float(x) for x in jax.device_get(parity(0)))
+    rel = rew_err / scale if scale else 0.0
+    out["parity"] = {
+        "mode": "actions",
+        "max_abs_obs_err_vs_scan": float(f"{obs_err:.2e}"),
+        "max_rel_reward_err_vs_scan": float(f"{rel:.2e}"),
+        "parity_ok": bool(obs_err < 1e-5 and rel < 1e-5),
+    }
+    return out
+
+
 def run_pallas_bench(B, repeats=5):
     import jax
     out = {"platform": jax.devices()[0].platform, "B": B,
@@ -289,6 +386,10 @@ def run_pallas_bench(B, repeats=5):
         "supplychain-ntom-v0", B, repeats)
     out["policy-rollout supplychain-linear-v0"] = _bench_policy_rollout(
         "supplychain-linear-v0", B, repeats)
+    out["collect supplychain-linear-v0"] = _bench_collect(
+        "supplychain-linear-v0", B, repeats)
+    out["collect supplychain-ntom-v0"] = _bench_collect(
+        "supplychain-ntom-v0", B, repeats)
     return out
 
 

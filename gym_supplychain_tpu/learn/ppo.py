@@ -28,7 +28,8 @@ from ..models.policy import (MLPConfig, actor_critic_forward,
                              init_actor_critic, init_discrete_actor_critic,
                              sample_tanh_gaussian, tanh_gaussian_logp)
 
-__all__ = ["PPOConfig", "TrainState", "make_ppo", "make_beergame_ppo"]
+__all__ = ["PPOConfig", "TrainState", "make_ppo", "make_ppo_fused",
+           "make_beergame_ppo"]
 
 
 class PPOConfig(NamedTuple):
@@ -71,6 +72,50 @@ class Trajectory(NamedTuple):
     reward: jax.Array    # [S, B]
     value: jax.Array     # [S, B]
     done: jax.Array      # [S]
+
+
+def _make_gae(cfg: PPOConfig):
+    """Generalized advantage estimation over a [S, B] trajectory (shared by
+    all the learners; ``done`` is per-step scalar — lockstep batches)."""
+    def gae(traj: Trajectory, last_value):
+        def body(carry, xs):
+            gae, next_value = carry
+            reward, value, done = xs
+            nonterm = jnp.where(done, 0.0, 1.0)
+            delta = reward + cfg.gamma * next_value * nonterm - value
+            gae = delta + cfg.gamma * cfg.lam * nonterm * gae
+            return (gae, value), gae
+
+        (_, _), adv = jax.lax.scan(
+            body, (jnp.zeros_like(last_value), last_value),
+            (traj.reward, traj.value, traj.done), reverse=True)
+        return adv, adv + traj.value
+
+    return gae
+
+
+def _make_cont_loss(cfg: PPOConfig, obs_dim: int, act_dim: int):
+    """Clipped-PPO loss for the continuous tanh-Gaussian policy."""
+    def loss(params, traj: Trajectory, adv, ret):
+        obs = traj.obs.transpose(1, 0, 2).reshape(obs_dim, -1)   # [obs, S*B]
+        pre = traj.act_pre.transpose(1, 0, 2).reshape(act_dim, -1)
+        mu, log_std, value = actor_critic_forward(params, obs)
+        logp = tanh_gaussian_logp(pre, mu, log_std)
+        old_logp = traj.logp.reshape(-1)
+        advf = adv.reshape(-1)
+        advf = (advf - advf.mean()) / (advf.std() + 1e-8)
+        ratio = jnp.exp(logp - old_logp)
+        pg = -jnp.minimum(
+            ratio * advf,
+            jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * advf).mean()
+        vf = 0.5 * ((value - ret.reshape(-1)) ** 2).mean()
+        # entropy of the squashed policy estimated as -E[log pi(a|s)]
+        ent = -logp.mean()
+        reg = (mu ** 2).mean()
+        return (pg + cfg.vf_coef * vf - cfg.ent_coef * ent
+                + cfg.pre_tanh_reg * reg), (pg, vf)
+
+    return loss
 
 
 def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
@@ -116,38 +161,8 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
         _, _, last_value = actor_critic_forward(params, last_obs)
         return env_state, traj, last_value
 
-    def _gae(traj: Trajectory, last_value):
-        def body(carry, xs):
-            gae, next_value = carry
-            reward, value, done = xs
-            nonterm = jnp.where(done, 0.0, 1.0)
-            delta = reward + cfg.gamma * next_value * nonterm - value
-            gae = delta + cfg.gamma * cfg.lam * nonterm * gae
-            return (gae, value), gae
-
-        (_, _), adv = jax.lax.scan(
-            body, (jnp.zeros_like(last_value), last_value),
-            (traj.reward, traj.value, traj.done), reverse=True)
-        return adv, adv + traj.value
-
-    def _loss(params, traj: Trajectory, adv, ret):
-        S = cfg.rollout_steps
-        obs = traj.obs.transpose(1, 0, 2).reshape(cc.obs_dim, -1)   # [obs, S*B]
-        pre = traj.act_pre.transpose(1, 0, 2).reshape(cc.A, -1)
-        mu, log_std, value = actor_critic_forward(params, obs)
-        logp = tanh_gaussian_logp(pre, mu, log_std)
-        old_logp = traj.logp.reshape(-1)
-        advf = adv.reshape(-1)
-        advf = (advf - advf.mean()) / (advf.std() + 1e-8)
-        ratio = jnp.exp(logp - old_logp)
-        pg = -jnp.minimum(ratio * advf,
-                          jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * advf).mean()
-        vf = 0.5 * ((value - ret.reshape(-1)) ** 2).mean()
-        # entropy of the squashed policy estimated as -E[log pi(a|s)]
-        ent = -logp.mean()
-        reg = (mu ** 2).mean()
-        return (pg + cfg.vf_coef * vf - cfg.ent_coef * ent
-                + cfg.pre_tanh_reg * reg), (pg, vf)
+    _gae = _make_gae(cfg)
+    _loss = _make_cont_loss(cfg, cc.obs_dim, cc.A)
 
     def train_step(state: TrainState):
         key, kr = jax.random.split(state.key)
@@ -169,6 +184,108 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
                    "mean_value": traj.value.mean()}
         return TrainState(params=params, opt_state=opt_state, env=env_state,
                           key=key), metrics
+
+    return init_fn, train_step
+
+
+class FusedTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+
+
+def make_ppo_fused(cc: CompiledChain, batch_size: int,
+                   cfg: PPOConfig = PPOConfig(), episodes: int = 1,
+                   noise: str = "prng", reward_scale: float = 1e-4,
+                   interpret: bool = False):
+    """PPO with the trajectory-emitting fused Pallas collection path.
+
+    Collection runs whole ``cc.T``-step episodes (``episodes`` back-to-back
+    per iteration, in-kernel auto-reset) in ONE kernel
+    (ops/supplychain_pallas.py::make_supplychain_collect_pallas): each grid
+    step builds the observation from live VMEM state, runs the MLP
+    actor+critic on the MXU, samples the tanh-Gaussian action, advances the
+    env, and writes the (obs, pre-tanh action, logp, value, reward)
+    trajectory row to HBM — zero per-step dispatch and no state round-trips,
+    vs the scan path's per-step HBM traffic.  GAE + clipped-PPO epochs then
+    consume the HBM trajectory exactly as in :func:`make_ppo` (rollout
+    parity vs the scan body is pinned by tests/test_pallas_collect.py).
+
+    ``noise='prng'`` draws all stochastic inputs (demand/lead-time rows,
+    exploration noise) from the in-kernel TPU PRNG — the fast path
+    (distribution parity with the host generator per
+    tests/test_rng_distribution.py).  ``noise='table'`` feeds device-drawn
+    per-episode tables + a normal noise table through the 'policy_eps'
+    kernel — stream-reproducible and CPU-runnable (interpret mode).
+
+    Returns ``(init_fn, train_step)``; episodes are whole, so no bootstrap
+    value is needed (the terminal step's nonterminal mask is 0).
+    """
+    if noise not in ("prng", "table"):
+        raise ValueError(f"noise must be 'prng' or 'table', got {noise!r}")
+    B, T, E = batch_size, cc.T, episodes
+    S = E * T
+    mcfg = MLPConfig(obs_dim=cc.obs_dim, act_dim=cc.A, hidden=cfg.hidden)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm),
+                     optax.adam(cfg.lr))
+    from ..ops.supplychain_pallas import make_supplychain_collect_pallas
+    from ..rng.device import device_demand_tables, device_leadtime_tables
+    mode = "policy" if noise == "prng" else "policy_eps"
+    run = make_supplychain_collect_pallas(cc, T, B, mode=mode, episodes=E,
+                                          hidden=cfg.hidden,
+                                          interpret=interpret)
+    # one whole episode per lane per iteration => terminal at step T-1
+    done = (jnp.arange(S) % T) == T - 1
+    _gae = _make_gae(cfg)
+    _loss = _make_cont_loss(cfg, cc.obs_dim, cc.A)
+
+    def init_fn(key) -> FusedTrainState:
+        kp, kk = jax.random.split(key)
+        params = init_actor_critic(kp, mcfg, jnp.float32)
+        return FusedTrainState(params=params, opt_state=tx.init(params),
+                               key=kk)
+
+    def _collect(params, key):
+        if noise == "prng":
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32)
+            return run(params, seed)
+        kd, kl, ke = jax.random.split(key, 3)
+        # fresh per-episode tables, concatenated along the S axis (the
+        # kernel's grid step t reads table row t; rows [e*T, (e+1)*T) are
+        # episode e's).  Row T of a demand table is only visible in the
+        # post-terminal obs, which collection never emits — drop it.
+        dem = jax.vmap(lambda k: device_demand_tables(k, cc, B)[:T])(
+            jax.random.split(kd, E)).reshape(S, cc.R, cc.P, B)
+        eps = jax.random.normal(ke, (S, cc.A, B), jnp.float32)
+        if cc.stochastic_leadtimes:
+            lt = jax.vmap(lambda k: device_leadtime_tables(k, cc, B))(
+                jax.random.split(kl, E)).reshape(S, cc.K, B)
+            return run(dem, lt, eps, params)
+        return run(dem, eps, params)
+
+    def train_step(state: FusedTrainState):
+        key, kr = jax.random.split(state.key)
+        obs, pre, logp, value, rew = _collect(state.params, kr)
+        traj = Trajectory(obs=obs, act_pre=pre, logp=logp,
+                          reward=rew * reward_scale, value=value, done=done)
+        adv, ret = _gae(traj, jnp.zeros_like(value[-1]))
+
+        def epoch(carry, _):
+            params, opt_state = carry
+            (loss, aux), grads = jax.value_and_grad(_loss, has_aux=True)(
+                params, traj, adv, ret)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch, (state.params, state.opt_state), None, length=cfg.epochs)
+        metrics = {"loss": losses[-1],
+                   "mean_reward": traj.reward.mean() / reward_scale,
+                   "mean_value": traj.value.mean()}
+        return FusedTrainState(params=params, opt_state=opt_state,
+                               key=key), metrics
 
     return init_fn, train_step
 
@@ -262,19 +379,7 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
         _, last_value = discrete_forward(params, last_obs, levels, max_order)
         return env_state, traj, last_value
 
-    def _gae(traj: Trajectory, last_value):
-        def body(carry, xs):
-            gae, next_value = carry
-            reward, value, done = xs
-            nonterm = jnp.where(done, 0.0, 1.0)
-            delta = reward + cfg.gamma * next_value * nonterm - value
-            gae = delta + cfg.gamma * cfg.lam * nonterm * gae
-            return (gae, value), gae
-
-        (_, _), adv = jax.lax.scan(
-            body, (jnp.zeros_like(last_value), last_value),
-            (traj.reward, traj.value, traj.done), reverse=True)
-        return adv, adv + traj.value
+    _gae = _make_gae(cfg)
 
     def _loss(params, traj: Trajectory, adv, ret):
         obs = traj.obs.transpose(1, 0, 2).reshape(levels, -1)

@@ -1,0 +1,68 @@
+"""Fused-collection PPO (learn/ppo.py::make_ppo_fused, VERDICT r2 item 1).
+
+The fused learner collects whole episodes through the trajectory-emitting
+Pallas kernel and runs the same GAE + clipped-PPO epochs as make_ppo.
+Interpret mode on CPU with the table-driven 'policy_eps' collection path
+(the in-kernel PRNG 'policy' path needs the hardware PRNG; its TPU parity
+and timing live in benchmarks/pallas_parity.py).  Rollout-body parity vs
+the scan engine is pinned separately in tests/test_pallas_collect.py.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _make(env_id, T, B, hidden, episodes=1, **make_kw):
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo_fused
+
+    cc = sct.make(env_id, total_time_steps=T, **make_kw).cc
+    cfg = PPOConfig(hidden=hidden, epochs=2, lr=1e-3)
+    return make_ppo_fused(cc, B, cfg, episodes=episodes, noise="table",
+                          interpret=True)
+
+
+def test_fused_train_step_runs_and_updates():
+    init_fn, train_step = _make("supplychain-linear-v0", 8, 4, (16, 16))
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert np.isfinite(float(metrics["mean_reward"]))
+    p1 = state.params
+    # the optimizer actually moved the params
+    moved = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)))
+    assert moved
+    # distinct iterations saw distinct trajectories (keys advanced)
+    assert len({round(x, 10) for x in losses}) > 1
+
+
+def test_fused_train_step_stochastic_multi_episode():
+    """ntom (stochastic lead-times) with 2 back-to-back episodes per
+    iteration: exercises the tiled per-episode tables + the done mask at
+    both episode boundaries."""
+    init_fn, train_step = _make("supplychain-ntom-v0", 6, 4, (8,),
+                                episodes=2)
+    state = init_fn(jax.random.PRNGKey(1))
+    state, metrics = jax.jit(train_step)(state)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["mean_value"]))
+
+
+def test_fused_rejects_bad_noise():
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import make_ppo_fused
+
+    cc = sct.make("supplychain-linear-v0", total_time_steps=4).cc
+    try:
+        make_ppo_fused(cc, 4, noise="nope")
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for bad noise mode")
