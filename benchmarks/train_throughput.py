@@ -1,10 +1,21 @@
-"""Honest PPO training throughput on one chip (replaces the round-1 claim
-of ~0.2 ms/iteration, which was async-dispatch mismeasurement: at 4096 envs
-x 16 rollout steps x 2 epochs it implied above-f32-peak MLP FLOP/s).
+"""Honest PPO training throughput on one chip, with a phase breakdown
+(VERDICT r2 item 2; replaces the round-1 ~0.2 ms/iteration async-dispatch
+mismeasurement).
 
-Protocol: ``lax.scan`` over K train iterations inside one jitted dispatch,
-post-fetch timing, per-iteration time = slope over K in (2, 4, 8).  Prints
-one JSON object.
+Protocol: ``lax.scan`` over K iterations inside one jitted dispatch,
+post-fetch timing, per-iteration time = slope over K in (2, 4, 8).  The
+phase bodies reuse ``train_step``'s own closures (train_step.rollout/.gae),
+so the breakdown measures the deployed code:
+
+* ``rollout``      — vectorized env + policy sampling only
+* ``rollout+gae``  — plus advantage estimation
+* ``full``         — plus the ``epochs`` clipped-PPO updates
+* ``update`` (derived) = full - rollout+gae
+
+A second section measures :func:`make_ppo_fused` — collection through the
+trajectory-emitting Pallas kernel (whole episodes, in-kernel PRNG +
+auto-reset) feeding the same GAE/update — on the same chain.  Prints one
+JSON object.
 """
 from __future__ import annotations
 
@@ -18,26 +29,98 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 REPEATS = 5
+ITER_COUNTS = (2, 4, 8)
+
+
+def _slope_per_iter(make_run):
+    """Seconds per iteration: slope of post-fetch wall time over K."""
+    def timed(fn, seed):
+        t0 = time.perf_counter()
+        float(fn(seed))
+        return time.perf_counter() - t0
+
+    med = {}
+    for iters in ITER_COUNTS:
+        run = make_run(iters)
+        timed(run, 0)
+        med[iters] = float(np.median([timed(run, r + 1)
+                                      for r in range(REPEATS)]))
+    k1, k3 = ITER_COUNTS[0], ITER_COUNTS[-1]
+    return (med[k3] - med[k1]) / (k3 - k1), med
 
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     import gym_supplychain_tpu as sct
-    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+    from gym_supplychain_tpu.learn.ppo import (PPOConfig, make_ppo,
+                                               make_ppo_fused)
 
     B = int(os.environ.get("GST_BENCH_ENVS", "4096"))
+    T = 64
     cfg = PPOConfig(rollout_steps=16, epochs=2, hidden=(128, 128))
-    cc = sct.make("supplychain-ntom-v0", total_time_steps=64).cc
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=T).cc
     init_fn, train_step = make_ppo(cc, B, cfg)
 
-    def make_run(iters):
+    def scan_phase(body):
+        def make_run(iters):
+            def fn(seed):
+                state = init_fn(jax.random.PRNGKey(seed))
+
+                def wrap(state, _):
+                    return body(state)
+
+                state, outs = jax.lax.scan(wrap, state, None, length=iters)
+                return outs.sum()
+
+            return jax.jit(fn)
+        return make_run
+
+    def rollout_body(state):
+        key, kr = jax.random.split(state.key)
+        env_state, traj, last_value = train_step.rollout(
+            state.params, state.env, kr)
+        return (state._replace(env=env_state, key=key),
+                traj.reward.sum() + traj.obs.sum() + last_value.sum())
+
+    def gae_body(state):
+        key, kr = jax.random.split(state.key)
+        env_state, traj, last_value = train_step.rollout(
+            state.params, state.env, kr)
+        adv, ret = train_step.gae(traj, last_value)
+        return (state._replace(env=env_state, key=key),
+                adv.sum() + ret.sum())
+
+    def full_body(state):
+        state, metrics = train_step(state)
+        return state, metrics["loss"]
+
+    phases = {}
+    for name, body in (("rollout", rollout_body), ("rollout+gae", gae_body),
+                       ("full", full_body)):
+        per_iter_s, med = _slope_per_iter(scan_phase(body))
+        phases[name] = {"per_iter_ms": round(per_iter_s * 1e3, 3),
+                        "median_ms": {str(k): round(v * 1e3, 2)
+                                      for k, v in med.items()}}
+    phases["update (derived)"] = {"per_iter_ms": round(
+        phases["full"]["per_iter_ms"]
+        - phases["rollout+gae"]["per_iter_ms"], 3)}
+    phases["gae (derived)"] = {"per_iter_ms": round(
+        phases["rollout+gae"]["per_iter_ms"]
+        - phases["rollout"]["per_iter_ms"], 3)}
+    scan_steps = B * cfg.rollout_steps
+    scan_ms = phases["full"]["per_iter_ms"]
+    scan_sps = scan_steps / (scan_ms * 1e-3)
+
+    # ---- fused Pallas collection path (whole T-step episodes) -----------
+    f_init, f_step = make_ppo_fused(cc, B, cfg, episodes=1, noise="prng")
+
+    def make_fused_run(iters):
         def fn(seed):
-            state = init_fn(jax.random.PRNGKey(seed))
+            state = f_init(jax.random.PRNGKey(seed))
 
             def body(state, _):
-                state, metrics = train_step(state)
+                state, metrics = f_step(state)
                 return state, metrics["loss"]
 
             state, losses = jax.lax.scan(body, state, None, length=iters)
@@ -45,29 +128,35 @@ def main():
 
         return jax.jit(fn)
 
-    def timed(fn, seed):
-        t0 = time.perf_counter()
-        float(fn(seed))
-        return time.perf_counter() - t0
+    fused_s, fused_med = _slope_per_iter(make_fused_run)
+    fused_steps = B * T
+    fused_sps = fused_steps / fused_s
 
-    med = {}
-    for iters in (2, 4, 8):
-        run = make_run(iters)
-        timed(run, 0)
-        med[iters] = float(np.median([timed(run, r + 1)
-                                      for r in range(REPEATS)]))
-    per_iter_s = (med[8] - med[2]) / 6
-    env_steps_per_iter = B * cfg.rollout_steps
     print(json.dumps({
         "platform": jax.devices()[0].platform,
-        "config": "supplychain-ntom-v0 PPO, 4096 envs, rollout 16, "
-                  "2 epochs, (128,128) MLP",
-        "median_ms": {str(k): round(v * 1e3, 2) for k, v in med.items()},
-        "per_train_iter_ms": round(per_iter_s * 1e3, 3),
-        "train_env_steps_per_s": round(env_steps_per_iter / per_iter_s, 1),
+        "config": f"supplychain-ntom-v0 PPO, {B} envs, T={T}, "
+                  f"rollout {cfg.rollout_steps} (unroll "
+                  f"{cfg.rollout_unroll}), {cfg.epochs} epochs, "
+                  "(128,128) MLP",
         "protocol": "post-fetch slope over 2/4/8 iters per dispatch, "
                     f"median of {REPEATS}",
-    }))
+        "scan_path": {
+            "phases": phases,
+            "env_steps_per_iter": scan_steps,
+            "per_train_iter_ms": scan_ms,
+            "train_env_steps_per_s": round(scan_sps, 1),
+        },
+        "fused_path": {
+            "collection": "Pallas collect kernel, whole 64-step episodes, "
+                          "in-kernel PRNG, policy+value+logp on MXU",
+            "env_steps_per_iter": fused_steps,
+            "per_train_iter_ms": round(fused_s * 1e3, 3),
+            "median_ms": {str(k): round(v * 1e3, 2)
+                          for k, v in fused_med.items()},
+            "train_env_steps_per_s": round(fused_sps, 1),
+        },
+        "fused_vs_scan_speedup": round(fused_sps / scan_sps, 2),
+    }, indent=1))
 
 
 if __name__ == "__main__":

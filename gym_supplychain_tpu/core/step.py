@@ -133,18 +133,39 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
     oh_dst = np.zeros((N, len(e_dst)), np_dtype)
     oh_dst[e_dst, np.arange(len(e_dst))] = 1
 
-    def _gather_lt(lt_row, idx):
-        """lt_row[K, B], idx[..., B] -> lead-times[..., B].
+    # (Degree-grouped and one-hot-sorted variants of the cut below were
+    # measured SLOWER on TPU at B=4096 — the static gathers/scatters and
+    # extra materialization boundaries cost more than the saved padded
+    # work; see git history for the experiments.)
 
-        One-hot select instead of ``take_along_axis``: per-lane dynamic
-        gathers cost ~250 us per scan iteration on TPU at B=4096 while K
-        masked selects cost well under 1 us each (measured; the same applies
-        to argsort+take, which is why the sorted-cut below is gather-free).
+    def _select_lt_sup(lt_row, rank):
+        """lt_row[K, B], rank[N, P, B] in [0, P) -> lead-times[N, P, B].
+
+        The supply column index is ``lt_base[n] + rank`` and rank (the count
+        of earlier fired supplies at the node) is < P, so P masked selects
+        over STATIC per-node gathers cover every reachable column.  Per-lane
+        dynamic gathers cost ~250 us per scan iteration on TPU at B=4096,
+        and the naive one-hot select over all K columns costs K passes —
+        ~144 on the 26-node NPerStage chains (measured 752 us/step, VERDICT
+        r2 item 7) — while this needs only P.
         """
-        idxc = jnp.clip(idx, 0, K - 1)
-        out = jnp.zeros(idx.shape, lt_row.dtype)
-        for k in range(K):
-            out = jnp.where(idxc == k, lt_row[k], out)
+        out = jnp.zeros(rank.shape, lt_row.dtype)
+        for r in range(P):
+            row = lt_row[np.clip(lt_base + r, 0, K - 1)]        # [N, B]
+            out = jnp.where(rank == r, row[:, None, :], out)
+        return out
+
+    def _select_lt_shp(lt_row, n_fired):
+        """lt_row[K, B], n_fired[N, B] in [0, P] -> lead-times[N, Dmax, B].
+
+        Transport columns sit at ``lt_base[n] + n_fired + di``; n_fired has
+        only P+1 values, so P+1 masked selects over static [N, Dmax] index
+        tables replace the K-pass one-hot (see _select_lt_sup)."""
+        out = jnp.zeros((N, Dmax) + n_fired.shape[-1:], lt_row.dtype)
+        di = np.arange(Dmax)
+        for m in range(P + 1):
+            idx = np.clip(lt_base[:, None] + m + di, 0, K - 1)  # [N, Dmax]
+            out = jnp.where(n_fired[:, None, :] == m, lt_row[idx], out)
         return out
 
     def obs_fn(state: EnvState) -> jnp.ndarray:
@@ -240,8 +261,9 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         zero_a = jnp.zeros((), adt)
         a_sup = jnp.where(has_supply[:, :, None],
                           jnp.take(a, sup_act_idx, axis=0), zero_a)  # [N,P,B]
-        a_shp = jnp.where((has_ship[:, :, None] & edge_mask[:, None, :])[..., None],
-                          jnp.take(a, ship_act_idx, axis=0), zero_a)  # [N,P,Dmax,B]
+        a_shp = jnp.where(
+            (has_ship[:, :, None] & edge_mask[:, None, :])[..., None],
+            jnp.take(a, ship_act_idx, axis=0), zero_a)       # [N,P,Dmax,B]
 
         costs = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
         units = {k: jnp.zeros((P, B), dtype) for k in COST_KEYS}
@@ -280,17 +302,16 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
             # supply lead-time column = base + #earlier fired supplies
             # (index advances only when supplied amount > 0, :252-254)
             rank = jnp.cumsum(fired, axis=1) - fired.astype(jnp.int32)
-            lt_sup = _gather_lt(lt_row, lt_base[:, None, None] + rank)
+            lt_sup = _select_lt_sup(lt_row, rank)                    # [N,P,B]
             n_fired = fired.sum(axis=1).astype(jnp.int32)            # [N,B]
             # transport lead-time columns follow the fired supplies and are
             # shared across products (:270, :344-348, :374-375)
-            di_idx = jnp.arange(Dmax, dtype=jnp.int32)
-            lt_shp = _gather_lt(
-                lt_row, lt_base[:, None, None] + n_fired[:, None, :]
-                + di_idx[None, :, None])                             # [N,Dmax,B]
-            for L in range(1, Lmax + 1):
-                contrib = jnp.where(fired & (lt_sup == L), sup_amt, 0.0)
-                pipe = pipe.at[L - 1].add(contrib)
+            lt_shp = _select_lt_shp(lt_row, n_fired)                 # [N,Dmax,B]
+            contrib_l = jnp.where(
+                fired[None] & (lt_sup[None]
+                               == np.arange(1, Lmax + 1)[:, None, None, None]),
+                sup_amt[None], 0.0)                                  # [Lmax,N,P,B]
+            pipe = pipe.at[:Lmax].add(contrib_l)
         else:
             lt_sup = jnp.full((N, P, B), Lavg, jnp.int32)
             lt_shp = jnp.full((N, Dmax, B), Lavg, jnp.int32)
@@ -318,39 +339,49 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         # via Dmax masked passes, then run the reference's sequential clamp
         # over sorted POSITIONS with one-hot selection — the same FP ops in
         # the same order, so results are bit-exact vs the sorted loop.
-        v = a_shp                                          # [N,P,Dmax,B]
-        w = jnp.full(v.shape, -jnp.inf, adt)
-        rank = jnp.zeros(v.shape, jnp.int32)
-        didx = np.arange(Dmax)[None, None, :, None]
-        for j in range(Dmax):
-            vj = v[:, :, j:j + 1, :]
-            before = (vj < v) | ((vj == v) & (j < didx))
-            w = jnp.maximum(w, jnp.where(before, vj, -jnp.inf))
-            rank = rank + before
-        # the predecessor of the first sorted element is literally 0
-        # (reference prepends a zero before differencing, :78-84)
-        w = jnp.where(rank == 0, jnp.zeros((), adt), w)
-        # the cut difference is computed on the raw action dtype
-        # (reference :83-84 subtracts two float32 action values).  When
-        # the stock sits exactly at capacity, the reference's
-        # min(capacity, stock) returns the Python int capacity and the
-        # product stays in the action dtype; otherwise the float64 stock
-        # promotes it (:62-64, :84).
-        vdiff = v - w                                      # adt
-        cut_f64 = vdiff.astype(dtype) * stock[:, :, None, :]
-        at_cap = (stock == stock_cap[:, :, None])[:, :, None, :]
-        cut_raw = (vdiff * stock.astype(adt)[:, :, None, :]).astype(dtype)
-        cut = jnp.where(at_cap, cut_raw, cut_f64)
-        availr = stock                                     # [N,P,B]
-        amounts_all = jnp.zeros(cut.shape, dtype)
-        for k in range(Dmax):
-            sel = rank == k
-            cut_k = jnp.where(sel, cut, 0.0).sum(axis=2)   # [N,P,B]
-            amt_k = jnp.minimum(cut_k, availr)
-            availr = availr - amt_k
-            amounts_all = amounts_all + jnp.where(
-                sel, amt_k[:, :, None, :], 0.0)
-        amounts_all = jnp.where(edge_mask[:, None, :, None], amounts_all, 0.0)
+        # (A broadcast-reduce form over [N,P,Dmax,Dmax,B] was measured SLOWER
+        # — 630 vs 401 us/step on the 26-node chain at B=4096 — XLA
+        # materializes the 5-D intermediates instead of fusing them into the
+        # reduces, so the sequential masked passes stay.)
+        def _sorted_cut(v, s_g, cap_g, D):
+            """Sorted-cut allocation for one group of nodes with D
+            destination slots: v [n,P,D,B] action values, s_g [n,P,B] stock,
+            cap_g [n,P] stock capacity.  Returns amounts [n,P,D,B]."""
+            w = jnp.full(v.shape, -jnp.inf, adt)
+            rank = jnp.zeros(v.shape, jnp.int32)
+            didx = np.arange(D)[None, None, :, None]
+            for j in range(D):
+                vj = v[:, :, j:j + 1, :]
+                before = (vj < v) | ((vj == v) & (j < didx))
+                w = jnp.maximum(w, jnp.where(before, vj, -jnp.inf))
+                rank = rank + before
+            # the predecessor of the first sorted element is literally 0
+            # (reference prepends a zero before differencing, :78-84)
+            w = jnp.where(rank == 0, jnp.zeros((), adt), w)
+            # the cut difference is computed on the raw action dtype
+            # (reference :83-84 subtracts two float32 action values).  When
+            # the stock sits exactly at capacity, the reference's
+            # min(capacity, stock) returns the Python int capacity and the
+            # product stays in the action dtype; otherwise the float64 stock
+            # promotes it (:62-64, :84).
+            vdiff = v - w                                  # adt
+            cut_f64 = vdiff.astype(dtype) * s_g[:, :, None, :]
+            at_cap = (s_g == cap_g[:, :, None])[:, :, None, :]
+            cut_raw = (vdiff * s_g.astype(adt)[:, :, None, :]).astype(dtype)
+            cut = jnp.where(at_cap, cut_raw, cut_f64)
+            availr = s_g                                   # [n,P,B]
+            amounts = jnp.zeros(cut.shape, dtype)
+            for k in range(D):
+                sel = rank == k
+                cut_k = jnp.where(sel, cut, 0.0).sum(axis=2)   # [n,P,B]
+                amt_k = jnp.minimum(cut_k, availr)
+                availr = availr - amt_k
+                amounts = amounts + jnp.where(sel, amt_k[:, :, None, :], 0.0)
+            return amounts
+
+        amounts_all = _sorted_cut(a_shp, stock, stock_cap, Dmax)
+        amounts_all = jnp.where(edge_mask[:, None, :, None],
+                                amounts_all, 0.0)
 
         new_stock_cols = []
         ship_pushes = []
@@ -413,33 +444,36 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
                 (a2c * ship_cost[:, p, :, None]).sum(axis=(0, 1)))
             units["ship"] = units["ship"].at[p].add(a2c.sum(axis=(0, 1)))
 
-            # deliver into destination pipelines (push only if > 0, :343-348).
-            # One-hot contraction over the (static) edge->destination matrix
-            # instead of scatter-adds: Lmax scatters cost ~10 us per scan
-            # iteration at B=4096, the einsum ~2 us, and summing incoming
-            # edges in edge-index order matches the scatter order.
-            # precision=HIGHEST is LOAD-BEARING: the default TPU matmul
-            # precision multiplies in bf16, which silently truncates shipped
-            # amounts (e.g. 8.203125 -> 8.1875) and breaks reference parity
-            # on real hardware even though CPU tests pass.
-            contrib_e = a2c[e_src, e_di]                             # [E,B]
-            if debug:
-                ship_pushes.append(contrib_e)
-            if cc.stochastic_leadtimes:
-                lt_ok = jnp.where(contrib_e > 0, lt_e, 0)
-                masked = jnp.where(
-                    lt_ok[None] == np.arange(1, Lmax + 1)[:, None, None],
-                    contrib_e[None], 0.0)                            # [Lmax,E,B]
-                add_l = jnp.einsum('ne,leb->lnb', oh_dst, masked,
-                                   precision=jax.lax.Precision.HIGHEST)
-                pipe = pipe.at[:Lmax, :, p, :].add(add_l)
-            else:
-                add0 = jnp.einsum('ne,eb->nb', oh_dst,
-                                  jnp.where(contrib_e > 0, contrib_e, 0.0),
-                                  precision=jax.lax.Precision.HIGHEST)
-                pipe = pipe.at[Lavg - 1, :, p, :].add(add0)
+            # shipped amounts on the flat edge list; the delivery contraction
+            # itself is batched over products below the loop
+            ship_pushes.append(a2c[e_src, e_di])                     # [E,B]
 
         stock = jnp.stack(new_stock_cols, axis=1)                    # [N,P,B]
+
+        # deliver into destination pipelines (push only if > 0, :343-348).
+        # One-hot contraction over the (static) edge->destination matrix
+        # instead of scatter-adds: Lmax scatters cost ~10 us per scan
+        # iteration at B=4096, the einsum ~2 us, and summing incoming
+        # edges in edge-index order matches the scatter order.  One einsum
+        # covers ALL products (a single pipe update instead of P in-place
+        # slices).  precision=HIGHEST is LOAD-BEARING: the default TPU
+        # matmul precision multiplies in bf16, which silently truncates
+        # shipped amounts (e.g. 8.203125 -> 8.1875) and breaks reference
+        # parity on real hardware even though CPU tests pass.
+        contrib_ep = jnp.stack(ship_pushes, axis=1)                  # [E,P,B]
+        if cc.stochastic_leadtimes:
+            lt_ok = jnp.where(contrib_ep > 0, lt_e[:, None, :], 0)
+            masked = jnp.where(
+                lt_ok[None] == np.arange(1, Lmax + 1)[:, None, None, None],
+                contrib_ep[None], 0.0)                          # [Lmax,E,P,B]
+            add_l = jnp.einsum('ne,lepb->lnpb', oh_dst, masked,
+                               precision=jax.lax.Precision.HIGHEST)
+            pipe = pipe.at[:Lmax].add(add_l)
+        else:
+            add0 = jnp.einsum('ne,epb->npb', oh_dst,
+                              jnp.where(contrib_ep > 0, contrib_ep, 0.0),
+                              precision=jax.lax.Precision.HIGHEST)
+            pipe = pipe.at[Lavg - 1].add(add0)
 
         ship_scope.__exit__(None, None, None)
         # --- phase 5: retailer demand fulfillment (:378-387) --------------
@@ -479,7 +513,7 @@ def make_supplychain_kernels(cc: CompiledChain, dtype=jnp.float32,
         if debug:
             out = out._replace(sup_push=jnp.where(fired, sup_amt, 0.0),
                                sup_lt=lt_sup,
-                               ship_push=jnp.stack(ship_pushes, axis=1),
+                               ship_push=contrib_ep,
                                ship_lt=lt_e)
         return new_state, out
 

@@ -657,6 +657,11 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                           pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
         out_shapes.append(jax.ShapeDtypeStruct((S, 1, B), f32))
         out_specs.append(pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)))
+        # the policy modes' MLP temporaries ([hidden, B] activations for the
+        # actor + critic trunks) overflow the default 16 MiB scoped-VMEM
+        # stack at B=4096; v5e has 128 MiB of VMEM, so raise the limit
+        params = (None if interpret else
+                  pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
         return pl.pallas_call(
             kernel,
             grid=(S,),
@@ -667,6 +672,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 pltpu.VMEM((N, P, B), f32),          # stock
                 pltpu.VMEM((RING, N, P, B), f32),    # pipeline ring
             ],
+            compiler_params=params,
             interpret=interpret,
         )
 
