@@ -1,9 +1,17 @@
-"""Large-topology benchmark: compile time + honest runtime (VERDICT item 8).
+"""Large-topology benchmark: compile time + honest runtime (VERDICT r1
+item 8 / r2 item 7).
 
-The step kernel unrolls Python loops over products and destinations at trace
-time, so big chains multiply traced ops; this records trace+compile wall
-time next to the honest per-step runtime (post-fetch slope protocol, see
-bench.py) so compile-time regressions are visible.
+Two engines per config:
+
+* the XLA scan path (``make_vec_env``) — trace+compile wall time recorded
+  next to the honest per-step runtime (post-fetch slope protocol, see
+  bench.py) so compile-time regressions are visible;
+* the dense Pallas collect kernel
+  (``ops/supplychain_pallas_dense.py``, 'random' mode — obs emitted every
+  step, in-kernel PRNG + auto-reset): per-step time from the slope over
+  episodes-per-dispatch, plus a compiled on-device parity check of the
+  table-driven 'actions' mode against the scan engine at a reduced shape
+  (the pre-gathered parity tables scale with S*N*P*Dmax*B).
 
 Prints one JSON object.  ``python benchmarks/large_topologies.py``.
 """
@@ -73,14 +81,94 @@ def _bench(cc, B, base_steps):
     }
 
 
+def _bench_dense(cc, B, T, lane_tile):
+    """Dense Pallas collect kernel: compile time, per-step slope over
+    episodes-per-dispatch, and compiled 'actions'-mode parity vs the scan
+    engine at a reduced shape."""
+    import jax
+    import jax.numpy as jnp
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    from gym_supplychain_tpu.ops.supplychain_pallas_dense import (
+        make_supplychain_dense_collect_pallas)
+
+    def timed(fn, s):
+        t0 = time.perf_counter()
+        float(fn(s))
+        return time.perf_counter() - t0
+
+    med = {}
+    compile_s = None
+    for eps in (1, 2):
+        run = make_supplychain_dense_collect_pallas(
+            cc, T, B, mode="random", episodes=eps, lane_tile=lane_tile)
+
+        @jax.jit
+        def fn(seed, run=run):
+            obs, rew = run(seed)
+            return obs.sum() + rew.sum()
+
+        c = timed(fn, 0)
+        if compile_s is None:
+            compile_s = c
+        med[eps] = float(np.median([timed(fn, r + 1)
+                                    for r in range(REPEATS)]))
+    per_step_us = (med[2] - med[1]) / T * 1e6
+
+    # compiled parity: 'actions' mode vs the scan engine on-device
+    Tp, Bp = 60, 256
+    par = make_supplychain_dense_collect_pallas(
+        cc, Tp, Bp, mode="actions", lane_tile=min(lane_tile, Bp))
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+
+    @jax.jit
+    def parity(seed):
+        kd, kl, ka = jax.random.split(jax.random.PRNGKey(seed), 3)
+        demands = jax.random.randint(
+            kd, (Tp + 1, cc.R, cc.P, Bp), 0, 25).astype(jnp.float32)
+        lt = (jax.random.randint(kl, (Tp, cc.K, Bp), 1, cc.Lmax + 1,
+                                 jnp.int32)
+              if cc.stochastic_leadtimes else None)
+        actions = jax.random.uniform(ka, (Tp, cc.A, Bp), jnp.float32,
+                                     -1.0, 1.0)
+        pal_obs, pal_rew = (par(demands[:Tp], lt, actions)
+                            if cc.stochastic_leadtimes
+                            else par(demands[:Tp], actions))
+        st = reset_fn(demands, lt, Bp)
+
+        def body(carry, a):
+            st, obs = carry
+            st, o = step_fn(st, a)
+            return (st, o.obs), (obs, o.reward)
+
+        (_, _), (ref_obs, ref_rew) = jax.lax.scan(
+            body, (st, obs_fn(st)), actions)
+        return (jnp.abs(pal_obs - ref_obs).max(),
+                jnp.abs(pal_rew - ref_rew).max(), jnp.abs(ref_rew).max())
+
+    obs_err, rew_err, scale = (float(x) for x in jax.device_get(parity(0)))
+    rel = rew_err / scale if scale else 0.0
+    return {
+        "lane_tile": lane_tile,
+        "compile_s": round(compile_s, 1),
+        "per_step_us": round(per_step_us, 2),
+        "steps_per_s": round(B / (per_step_us * 1e-6), 1),
+        "parity": {"mode": "actions", "T": Tp, "B": Bp,
+                   "max_abs_obs_err_vs_scan": float(f"{obs_err:.2e}"),
+                   "max_rel_reward_err_vs_scan": float(f"{rel:.2e}"),
+                   "parity_ok": bool(obs_err < 1e-5 and rel < 1e-5)},
+    }
+
+
 def main():
     import jax
     from gym_supplychain_tpu.envs.presets import (SupplyChainNPerStage,
                                                   SupplyChainMultiProduct)
 
     B = int(os.environ.get("GST_BENCH_ENVS", "4096"))
+    lane_tile = int(os.environ.get("GST_LANE_TILE", "512"))
     out = {"platform": jax.devices()[0].platform, "B": B,
-           "protocol": "post-fetch slope over 1x/2x scans, median of "
+           "protocol": "post-fetch slope over 1x/2x scans (scan engine) / "
+                       "1x/2x episodes (dense kernel), median of "
                        f"{REPEATS}"}
     T = 360
     configs = {
@@ -96,6 +184,10 @@ def main():
     }
     for name, cc in configs.items():
         out[name] = _bench(cc, B, T)
+        out[name]["dense_pallas"] = _bench_dense(cc, B, T, lane_tile)
+        out[name]["dense_speedup"] = round(
+            out[name]["per_step_us"]
+            / out[name]["dense_pallas"]["per_step_us"], 2)
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
 

@@ -185,6 +185,12 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
         return TrainState(params=params, opt_state=opt_state, env=env_state,
                           key=key), metrics
 
+    # phase hooks for benchmarks/train_throughput.py's breakdown: the same
+    # closures train_step composes, so phase timings measure the deployed
+    # code, not a re-implementation
+    train_step.rollout = _rollout
+    train_step.gae = _gae
+    train_step.loss = _loss
     return init_fn, train_step
 
 

@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=360)
     p.add_argument("--model-axis", type=int, default=1,
                    help="tensor-parallel degree over policy hidden dims")
+    p.add_argument("--fused", action="store_true",
+                   help="collect whole episodes through the Pallas fused "
+                        "kernel (learn/ppo.py::make_ppo_fused; supply-chain "
+                        "envs, single chip)")
+    p.add_argument("--fused-episodes", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--restore", default=None)
@@ -55,12 +60,20 @@ def main(argv=None):
     if args.env.startswith("beergame"):
         init_fn, train_step = make_beergame_ppo(
             args.envs, cfg, v2=args.env.endswith("v2"))
+    elif args.fused:
+        from gym_supplychain_tpu.learn.ppo import make_ppo_fused
+        cc = sct.make(args.env, total_time_steps=args.horizon).cc
+        init_fn, train_step = make_ppo_fused(cc, args.envs, cfg,
+                                             episodes=args.fused_episodes)
     else:
         cc = sct.make(args.env, total_time_steps=args.horizon).cc
         init_fn, train_step = make_ppo(cc, args.envs, cfg)
 
     key = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
+    if args.fused and n_dev > 1:
+        raise SystemExit("--fused runs the Pallas collection kernel on a "
+                         "single chip; drop --fused for sharded training")
     if n_dev > 1:
         # global shardings at creation time: required for multi-process
         # (multi-host) runs, where arrays built outside jit are committed to
@@ -83,7 +96,10 @@ def main(argv=None):
 
     if args.restore:
         state = restore_checkpoint(args.restore, like=state)
-    meter = Throughput(args.envs * cfg.rollout_steps)
+    steps_per_iter = (args.horizon * args.fused_episodes
+                      if args.fused and not args.env.startswith("beergame")
+                      else cfg.rollout_steps)
+    meter = Throughput(args.envs * steps_per_iter)
     with trace(args.trace_dir):
         for it in range(args.iters):
             state, metrics = step_jit(state)

@@ -92,6 +92,30 @@ def _softplus(x):
     return jnp.maximum(x, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
+def _demand_from_u(u, u2, cfg, te, T):
+    """Uniforms -> demand values for one product's demand config (the
+    in-kernel analogue of rng/device.py _demand_from_uniform; normals come
+    from Box-Muller instead of ndtri — same distribution).  ``u``/``u2``
+    [..., B] uniforms, ``te`` traced episode step, ``T`` horizon."""
+    if cfg.sen_peaks is None and cfg.std is None:
+        n = cfg.maxv - cfg.minv + 1
+        return jnp.floor(u * n) + cfg.minv
+    if cfg.sen_peaks is None:
+        d = _box_muller(u, u2) * cfg.std + (cfg.maxv + cfg.minv) / 2
+        return jnp.round(jnp.clip(d, cfg.minv, cfg.maxv))
+    std = 0.0 if cfg.std is None else cfg.std
+    if cfg.perturb_norm:
+        perturb = _box_muller(u, u2) * std
+    else:
+        lo, hi = int(-3 * std), int(3 * std)
+        perturb = jnp.floor(u * (hi - lo + 1)) + lo
+    half = (cfg.maxavg - cfg.minavg) / 2
+    base = cfg.minavg + half * (
+        1 + jnp.sin(cfg.sen_peaks * 2 * math.pi
+                    * te.astype(jnp.float32) / T))
+    return jnp.round(jnp.clip(base + perturb, cfg.minv, cfg.maxv))
+
+
 def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                           interpret: bool = False):
     """Build whole-episode rollout kernels for a compiled chain.
@@ -417,27 +441,6 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         (cfg.std is not None) if cfg.sen_peaks is None else cfg.perturb_norm
         for cfg in cc.demand)
 
-    def _demand_from_u(u, u2, cfg, te):
-        """[R, B] uniforms (+ second uniforms for normal paths) -> demand
-        row (the in-kernel analogue of rng/device.py _demand_from_uniform;
-        normals come from Box-Muller instead of ndtri — same distribution)."""
-        if cfg.sen_peaks is None and cfg.std is None:
-            n = cfg.maxv - cfg.minv + 1
-            return jnp.floor(u * n) + cfg.minv
-        if cfg.sen_peaks is None:
-            d = _box_muller(u, u2) * cfg.std + (cfg.maxv + cfg.minv) / 2
-            return jnp.round(jnp.clip(d, cfg.minv, cfg.maxv))
-        std = 0.0 if cfg.std is None else cfg.std
-        if cfg.perturb_norm:
-            perturb = _box_muller(u, u2) * std
-        else:
-            lo, hi = int(-3 * std), int(3 * std)
-            perturb = jnp.floor(u * (hi - lo + 1)) + lo
-        half = (cfg.maxavg - cfg.minavg) / 2
-        base = cfg.minavg + half * (
-            1 + jnp.sin(cfg.sen_peaks * 2 * math.pi * te.astype(f32) / T))
-        return jnp.round(jnp.clip(base + perturb, cfg.minv, cfg.maxv))
-
     def _draw_step_inputs(te):
         """Draw this step's demand row [R, P, B] and lead-time row [K, B]
         from the (already seeded) on-chip PRNG."""
@@ -457,7 +460,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             up = jnp.stack([u[kk + r * P + p] for r in range(R)])
             up2 = (jnp.stack([u2[r * P + p] for r in range(R)])
                    if u2 is not None else None)
-            cols.append(_demand_from_u(up, up2, cfg, te))
+            cols.append(_demand_from_u(up, up2, cfg, te, T))
         dem_row = jnp.stack(cols, axis=1)                   # [R, P, B]
         return dem_row, lt_row
 

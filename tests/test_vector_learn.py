@@ -203,6 +203,42 @@ def test_supplychain_ppo_beats_base_stock():
         f"trained {trained:.0f} does not beat base-stock {heur:.0f} by 5%")
 
 
+def test_ntom_ppo_matches_tuned_base_stock():
+    """CI-sized north-star assertion (VERDICT r2 item 5): on
+    supplychain-ntom-v0 — the benchmark headline env — PPO must beat the
+    grid-TUNED base-stock heuristic under greedy evaluation at T=60.
+
+    The margin bar is small by design: this preset's derived cost structure
+    (unmet_demand_cost = 2*product_cost while the chain's end-to-end cost
+    of serving one unit is ~2*product_cost, envs/presets.py
+    SupplyChainNtoMEnv) makes near-idle policies near-optimal, so the
+    tuned heuristic already sits close to the optimum; PPO consistently
+    edges it by ~0.5-0.6% (full-horizon T=360 comparison:
+    benchmarks/results/compare_baseline_ntom.json, docs/TRAINING.md)."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.evaluate import make_evaluator
+    from gym_supplychain_tpu.learn.heuristics import best_base_stock
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=60).cc
+    _z, heur, _scores = best_base_stock(
+        cc, 128, jax.random.PRNGKey(0),
+        zs=[0.01, 0.03, 0.05, 0.08, 0.1, 0.15], episodes=2)
+
+    init_fn, train_step = make_ppo(
+        cc, 256, PPOConfig(rollout_steps=32, hidden=(64, 64), lr=3e-4,
+                           epochs=4))
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    for _ in range(500):
+        state, m = step(state)
+    evaluate = jax.jit(make_evaluator(cc, 256), static_argnames="episodes")
+    trained = float(evaluate(state.params, jax.random.PRNGKey(1), 1)
+                    ["mean_return"])
+    assert trained > heur + 0.002 * abs(heur), (
+        f"trained {trained:.0f} does not beat tuned base-stock {heur:.0f}")
+
+
 def test_base_stock_heuristic_sanity():
     """The scripted baseline itself must be sane: distinct-retailer
     reachability (parallel paths must not multiply), and a clearly better
