@@ -176,6 +176,151 @@ def bench_beergame(B, weeks=35):
     return _measure_slope(make_run, 40 * weeks)
 
 
+def _fused_result(make_run, T, base_eps=2):
+    """Honest slope over episodes-per-dispatch for a whole-episode fused
+    kernel; converts the per-episode slope to per-step time."""
+    r = _measure_slope(make_run, base_eps)
+    r["per_episode_ms"] = round(r["per_step_us"] * 1e-3, 4)
+    r["per_step_us"] = round(r["per_step_us"] / T, 4)
+    r["scan_lengths"] = [f"{e} episodes" for e in r["scan_lengths"]]
+    return r
+
+
+def bench_supplychain_fused(cc, B, T=360):
+    """Trajectory-emitting Pallas collect kernel (mode='random'): whole
+    episodes in one kernel, per-step obs written to HBM, in-kernel PRNG +
+    auto-reset — the PPO-collection workload with zero per-step dispatch.
+
+    Compiled parity of the table-driven 'actions' mode vs the scan engine
+    is asserted at a reduced batch before timing (the PRNG modes are
+    distribution-equal, not stream-equal, to the scan path's draws)."""
+    import jax
+    import jax.numpy as jnp
+    from gym_supplychain_tpu.core.step import make_supplychain_kernels
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_collect_pallas)
+
+    # ---- compiled parity ('actions' mode vs scan engine) ----------------
+    Bp = 256
+    run_par = make_supplychain_collect_pallas(cc, T, Bp, mode="actions")
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+
+    @jax.jit
+    def parity(seed):
+        kd, kl, ka = jax.random.split(jax.random.PRNGKey(seed), 3)
+        demands = jax.random.randint(
+            kd, (T + 1, cc.R, cc.P, Bp), 0, 25).astype(jnp.float32)
+        lt = (jax.random.randint(kl, (T, cc.K, Bp), 1, cc.Lmax + 1,
+                                 jnp.int32)
+              if cc.stochastic_leadtimes else None)
+        actions = jax.random.uniform(ka, (T, cc.A, Bp), jnp.float32,
+                                     -1.0, 1.0)
+        pal_obs, pal_rew = (run_par(demands, lt, actions)
+                            if cc.stochastic_leadtimes
+                            else run_par(demands, actions))
+        st = reset_fn(demands, lt, Bp)
+
+        def body(carry, a):
+            st, obs = carry
+            st, out = step_fn(st, a)
+            return (st, out.obs), (obs, out.reward)
+
+        (_, _), (ref_obs, ref_rew) = jax.lax.scan(
+            body, (st, obs_fn(st)), actions)
+        return (jnp.abs(pal_obs - ref_obs).max(),
+                jnp.abs(pal_rew - ref_rew).max(), jnp.abs(ref_rew).max())
+
+    obs_err, rew_err, scale = (float(x) for x in jax.device_get(parity(0)))
+    rel = rew_err / scale if scale else 0.0
+    parity_ok = bool(obs_err < 1e-5 and rel < 1e-5)
+    if not parity_ok:
+        print(f"WARNING: fused collect parity failed (obs {obs_err:.2e}, "
+              f"rel reward {rel:.2e})", file=sys.stderr)
+
+    # ---- timing (mode='random', slope over episodes-per-dispatch) -------
+    def make_run(eps):
+        run = make_supplychain_collect_pallas(cc, T, B, mode="random",
+                                              episodes=eps)
+
+        def fn(seed):
+            obs, rew = run(seed)
+            return obs.sum() + rew.sum()
+
+        return jax.jit(fn)
+
+    r = _fused_result(make_run, T)
+    r["parity"] = {"mode": "actions", "B": Bp,
+                   "max_abs_obs_err_vs_scan": float(f"{obs_err:.2e}"),
+                   "max_rel_reward_err_vs_scan": float(f"{rel:.2e}"),
+                   "parity_ok": parity_ok}
+    return r
+
+
+def bench_beergame_fused(B, weeks=35):
+    """Beer-game collect kernel: same protocol as the supply-chain fused
+    path; 'actions'-mode parity is bit-exact vs the lax.scan kernel."""
+    import jax
+    import jax.numpy as jnp
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    L = 4
+    demand = np.array([4] * 4 + [8] * (weeks - 4), np.int32)
+    delays = np.full(weeks + 1, 2, np.int32)
+
+    # ---- compiled parity ('actions' mode, 2 episodes, bit-exact) --------
+    E = 2
+    reset_fn, step_fn, _ = make_beergame_kernels(L, weeks, 2,
+                                                 itype=jnp.int32)
+    run_par = make_beergame_collect_pallas(weeks, L, B, episodes=E,
+                                           mode="actions")
+
+    @jax.jit
+    def parity(seed):
+        actions = jax.random.randint(jax.random.PRNGKey(seed),
+                                     (E * weeks, L, B), 0, 16, jnp.int32)
+        pal_obs, pal_rew = run_par(demand, actions)
+
+        def episode(_, acts):
+            st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+
+            def body(st, a):
+                st, (o, r, _) = step_fn(st, a)
+                return st, (o, r)
+
+            _, (obs, rew) = jax.lax.scan(body, st, acts)
+            return 0, (obs, rew)
+
+        _, (ref_obs, ref_rew) = jax.lax.scan(
+            episode, 0, actions.reshape(E, weeks, L, B))
+        ref_obs = ref_obs.reshape(E * weeks, L, B)
+        ref_rew = ref_rew.reshape(E * weeks, B)
+        return (jnp.abs(pal_obs - ref_obs).max(),
+                jnp.abs(pal_rew - ref_rew).max())
+
+    obs_err, rew_err = (int(x) for x in jax.device_get(parity(0)))
+    parity_ok = obs_err == 0 and rew_err == 0
+    if not parity_ok:
+        print(f"WARNING: beergame collect parity failed (obs {obs_err}, "
+              f"reward {rew_err})", file=sys.stderr)
+
+    def make_run(eps):
+        run = make_beergame_collect_pallas(weeks, L, B, episodes=eps,
+                                           mode="random")
+
+        def fn(seed):
+            obs, rew = run(demand, seed)
+            return obs.sum() + rew.sum()
+
+        return jax.jit(fn)
+
+    r = _fused_result(make_run, weeks, base_eps=50)
+    r["parity"] = {"mode": "actions", "B": B, "episodes": E,
+                   "bit_exact": parity_ok}
+    return r
+
+
 def bench_pallas(B):
     """Whole-episode Pallas kernels, compiled on the real device: parity vs
     the scan engine asserted on identical inputs, then timed per episode."""
@@ -204,12 +349,38 @@ def main():
     results["supplychain-ntom-v0"] = bench_supplychain(ntom_cc, B)
     results["beergame-v0"] = bench_beergame(B)
 
+    # Fused trajectory-emitting collect kernels (whole episodes in one
+    # Pallas call, obs consumed every step, in-kernel auto-reset): the
+    # same honest workload as the scan path without per-step scan
+    # overhead.  The headline takes the faster engine per config; parity
+    # of each kernel vs the scan engine is asserted above the timing.
+    fused = {}
+    if os.environ.get("GST_FUSED", "1") != "0":
+        fused["supplychain-linear-v0"] = bench_supplychain_fused(linear_cc, B)
+        fused["supplychain-ntom-v0"] = bench_supplychain_fused(ntom_cc, B)
+        fused["beergame-v0"] = bench_beergame_fused(B)
+
     steps_per_s = {}
     for k, r in results.items():
         r["steps_per_s"] = round(B / (r["per_step_us"] * 1e-6), 1)
-        steps_per_s[k] = r["steps_per_s"]
+        r["engine"] = "scan"
+        f = fused.get(k)
+        if f is not None:
+            f["steps_per_s"] = round(B / (f["per_step_us"] * 1e-6), 1)
+            parity_ok = (f["parity"].get("parity_ok", False)
+                         or f["parity"].get("bit_exact", False))
+            if (parity_ok and f["linearity_ok"]
+                    and f["steps_per_s"] > r["steps_per_s"]):
+                r["engine"] = "fused_collect"
+        steps_per_s[k] = (fused[k]["steps_per_s"]
+                          if r["engine"] == "fused_collect"
+                          else r["steps_per_s"])
     details["per_config"] = results
-    details["linearity_ok"] = all(r.get("linearity_ok") for r in results.values())
+    if fused:
+        details["fused_collect"] = fused
+    details["headline_steps_per_s"] = steps_per_s
+    checked = list(results.values()) + list(fused.values())
+    details["linearity_ok"] = all(r.get("linearity_ok") for r in checked)
 
     if os.environ.get("GST_PALLAS"):
         details["pallas"] = bench_pallas(B)

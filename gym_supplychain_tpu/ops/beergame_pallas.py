@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["beergame_episode_pallas"]
+__all__ = ["beergame_episode_pallas", "make_beergame_collect_pallas"]
 
 
 def _episode_kernel(demand_ref, action_ref, inv0_ref, reward_ref,
@@ -136,3 +136,163 @@ def beergame_episode_pallas(demand, actions, initial_inventory,
         interpret=interpret,
     )(demand.astype(jnp.int32), actions.astype(jnp.int32),
       initial_inventory.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Trajectory-emitting collect kernel (obs + reward every week, in-kernel
+# auto-reset): the beer-game counterpart of
+# ops/supplychain_pallas.py::make_supplychain_collect_pallas.
+# ---------------------------------------------------------------------------
+
+def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
+                    ring: int, init_delay: int, init_ship: int,
+                    init_orders: int, init_inv: int, inv_cost: int,
+                    backlog_cost: int, max_order: int):
+    """One grid step per env week over ``episodes * weeks`` steps.
+
+    mode 'random': actions drawn from the on-chip PRNG (uniform ints in
+    [0, max_order), exact for power-of-two max_order via a bit mask) —
+    the headline collection workload.  mode 'actions': a pre-tiled
+    [S, L, B] action table — the parity variant replayed against the
+    ``lax.scan`` kernel (core/beergame.py) bit-for-bit.
+    """
+    L = levels
+    if mode == "random":
+        demand_ref, seed_ref, obs_ref, reward_ref = refs[:4]
+        act_ref = None
+        scratch = refs[4:]
+    else:
+        demand_ref, act_ref, obs_ref, reward_ref = refs[:4]
+        seed_ref = None
+        scratch = refs[4:]
+    inv_ref, back_ref, orders_ref, ring_ref = scratch
+
+    ti = pl.program_id(0)
+    te = ti % weeks                      # week index within this episode
+    week = te + 1
+
+    @pl.when(te == 0)
+    def _init():
+        # episode-initial state (beergame_env.py:39-52): fresh inventory,
+        # zero backlog, initial orders, ring slots 1..init_delay seeded
+        inv_ref[:] = jnp.full_like(inv_ref, init_inv)
+        back_ref[:] = jnp.zeros_like(back_ref)
+        orders_ref[:] = jnp.full_like(orders_ref, init_orders)
+        slot_ids = jax.lax.broadcasted_iota(jnp.int32, ring_ref.shape, 0)
+        ring_ref[:] = jnp.where((slot_ids >= 1) & (slot_ids <= init_delay),
+                                jnp.int32(init_ship), jnp.int32(0))
+
+    slot = week % ring
+    # 1. receive scheduled shipments; clear the consumed slot
+    inventory = inv_ref[:] + ring_ref[slot]
+    ring_ref[slot] = jnp.zeros((L, ring_ref.shape[-1]), jnp.int32)
+
+    # 2. fill orders (incoming = [customer demand, upstream's orders])
+    demand_row = demand_ref[0]                              # [B]
+    placed = orders_ref[:]
+    incoming = jnp.concatenate([demand_row[None, :], placed[:-1]], axis=0)
+    orders_to_fill = incoming + back_ref[:]
+    to_deliver = jnp.minimum(inventory, orders_to_fill)
+
+    # 3. deliveries downstream + factory self-supply (beergame_env.py:93-96,
+    # :111-114)
+    downstream = jnp.concatenate([to_deliver[1:], placed[-1:]], axis=0)
+    if delay == 0:
+        inventory = inventory + downstream
+    else:
+        wslot = (week + delay) % ring
+        ring_ref[wslot] = ring_ref[wslot] + downstream
+
+    # 4. record inventory / backlog
+    inventory = inventory - to_deliver
+    backlog = orders_to_fill - to_deliver
+    inv_ref[:] = inventory
+    back_ref[:] = backlog
+
+    # 5. place orders = incoming + action (v0, beergame_env.py:121)
+    if mode == "random":
+        # distinct per-step stream from (seed, step); power-of-two
+        # max_order makes the bit mask exactly uniform
+        pltpu.prng_seed(seed_ref[0], ti)
+        bits = pltpu.bitcast(
+            pltpu.prng_random_bits((L, ring_ref.shape[-1])), jnp.uint32)
+        action = (bits & jnp.uint32(max_order - 1)).astype(jnp.int32)
+    else:
+        action = act_ref[0]
+    orders_ref[:] = incoming + action
+
+    # 6. obs (inventory - backlog, beergame_env.py:180-181) + reward
+    obs_ref[0] = inventory - backlog
+    reward_ref[0, 0] = -jnp.sum(
+        inv_cost * inventory + backlog_cost * backlog, axis=0)
+
+
+def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
+                                 episodes: int = 1, mode: str = "random",
+                                 delay: int = 2, init_delay: int = None,
+                                 init_ship: int = 4, init_orders: int = 4,
+                                 init_inv: int = 12, inv_cost: int = 1,
+                                 backlog_cost: int = 2, max_order: int = 16,
+                                 interpret: bool = False):
+    """Trajectory-emitting fused beer-game rollout.
+
+    Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
+    auto-reset, writing each week's observation [L, B] and reward [B] to
+    HBM — the PPO-collection workload of ``bench.py``'s beergame config
+    with zero per-step dispatch.  Semantics match
+    ``make_beergame_kernels(itype=int32)`` / reference beergame_env.py
+    :66-138 (constant scalar shipment delay, as the benchmark uses).
+
+    Returns ``run(demand, seed) -> (obs [S, L, B], reward [S, B])`` for
+    mode='random' (``demand`` [weeks] or [weeks, B] int32), or
+    ``run(demand, actions [S, L, B]) -> (obs, reward)`` for mode='actions',
+    with S = episodes * weeks.  mode='random' requires power-of-two
+    ``max_order`` (exact bit-mask uniformity).
+    """
+    if mode == "random" and (max_order & (max_order - 1)) != 0:
+        raise ValueError("mode='random' requires power-of-two max_order")
+    if init_delay is None:
+        init_delay = delay
+    ring = max(delay, init_delay) + 1
+    S = episodes * weeks
+    kernel = functools.partial(
+        _collect_kernel, mode=mode, weeks=weeks, levels=levels, delay=delay,
+        ring=ring, init_delay=init_delay, init_ship=init_ship,
+        init_orders=init_orders, init_inv=init_inv, inv_cost=inv_cost,
+        backlog_cost=backlog_cost, max_order=max_order)
+    in_specs = [pl.BlockSpec((1, B), lambda t: (t, 0))]      # demand row
+    if mode == "random":
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    else:
+        in_specs.append(pl.BlockSpec((1, levels, B), lambda t: (t, 0, 0)))
+    call = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        out_shape=[jax.ShapeDtypeStruct((S, levels, B), jnp.int32),
+                   jax.ShapeDtypeStruct((S, 1, B), jnp.int32)],
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, levels, B), lambda t: (t, 0, 0)),
+                   pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))],
+        scratch_shapes=[
+            pltpu.VMEM((levels, B), jnp.int32),        # inventory
+            pltpu.VMEM((levels, B), jnp.int32),        # backlog
+            pltpu.VMEM((levels, B), jnp.int32),        # orders placed
+            pltpu.VMEM((ring, levels, B), jnp.int32),  # shipment ring
+        ],
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(demand, second):
+        demand = jnp.asarray(demand, jnp.int32)
+        if demand.ndim == 1:
+            demand = jnp.broadcast_to(demand[:, None], (weeks, B))
+        demand = jnp.tile(demand, (episodes, 1))             # [S, B]
+        if mode == "random":
+            second = jnp.asarray(second, jnp.int32).reshape((1,))
+        else:
+            second = jnp.asarray(second, jnp.int32)
+        obs, rew = call(demand, second)
+        return obs, rew.squeeze(1)
+
+    return run

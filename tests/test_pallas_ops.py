@@ -273,3 +273,58 @@ def test_policy_rollout_pallas_stochastic_ntom():
     ref = _greedy_scan_rewards(cc, params, jnp.asarray(demands),
                                jnp.asarray(leadtimes))
     np.testing.assert_allclose(pal, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_beergame_collect_actions_matches_scan_two_episodes():
+    """'actions'-mode collect kernel: per-week obs + reward bit-equal to the
+    lax.scan kernel across an auto-reset boundary (2 back-to-back episodes)."""
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    W, L, B, E = 35, 4, 8, 2
+    rs = np.random.RandomState(2)
+    demand = np.array([4] * 4 + [8] * (W - 4), np.int32)
+    actions = rs.randint(0, 16, size=(E * W, L, B)).astype(np.int32)
+
+    reset_fn, step_fn, obs_fn = make_beergame_kernels(L, W, 2, itype=jnp.int32)
+    delays = np.full(W + 1, 2, np.int32)
+    step = jax.jit(step_fn)
+    scan_obs, scan_rew = [], []
+    for e in range(E):
+        st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+        for w in range(W):
+            st, (o, r, _) = step(st, actions[e * W + w])
+            scan_obs.append(np.asarray(o))
+            scan_rew.append(np.asarray(r))
+
+    run = make_beergame_collect_pallas(W, L, B, episodes=E, mode="actions",
+                                       interpret=True)
+    obs, rew = run(demand, actions)
+    np.testing.assert_array_equal(np.asarray(obs), np.stack(scan_obs))
+    np.testing.assert_array_equal(np.asarray(rew), np.stack(scan_rew))
+
+
+def test_beergame_collect_random_smoke():
+    """'random' mode needs the TPU PRNG primitives (no CPU interpret
+    lowering, like the supply-chain PRNG collect modes); compiled smoke +
+    timing runs in bench.py on the real chip."""
+    import pytest
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("on-chip PRNG requires a TPU")
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    W, L, B, E = 12, 4, 128, 2
+    demand = np.array([4] * 4 + [8] * (W - 4), np.int32)
+    run = make_beergame_collect_pallas(W, L, B, episodes=E, mode="random")
+    obs, rew = run(demand, 0)
+    obs2, rew2 = run(demand, 1)
+    assert obs.shape == (E * W, L, B) and rew.shape == (E * W, B)
+    assert obs.dtype == jnp.int32 and rew.dtype == jnp.int32
+    assert np.all(np.asarray(rew) <= 0)
+    assert not np.array_equal(np.asarray(rew), np.asarray(rew2))
+    # auto-reset: week-0 rows of both episodes start from identical state,
+    # so the obs distribution across episodes matches at week 0 given the
+    # same action stream would -- with PRNG actions just check finiteness
+    assert np.isfinite(np.asarray(obs)).all()
