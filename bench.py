@@ -176,13 +176,38 @@ def bench_beergame(B, weeks=35):
     return _measure_slope(make_run, 40 * weeks)
 
 
-def _fused_result(make_run, T, base_eps=2):
-    """Honest slope over episodes-per-dispatch for a whole-episode fused
-    kernel; converts the per-episode slope to per-step time."""
-    r = _measure_slope(make_run, base_eps)
-    r["per_episode_ms"] = round(r["per_step_us"] * 1e-3, 4)
-    r["per_step_us"] = round(r["per_step_us"] / T, 4)
-    r["scan_lengths"] = [f"{e} episodes" for e in r["scan_lengths"]]
+def _fused_result(make_call_runner, T, inner_eps):
+    """Honest slope timing for a whole-episode fused collect kernel.
+
+    A single kernel invocation collects ``inner_eps`` episodes (bounded by
+    the HBM trajectory buffers it emits); the timed dispatch ``lax.scan``s
+    that invocation R times with distinct seeds, reducing each call's
+    outputs into the carry so XLA reuses the trajectory buffers.  The slope
+    over R in (2, 4, 8) then measures steady per-episode kernel time with
+    tens-of-ms of marginal work per point — a bare episodes-per-kernel
+    sweep bottoms out at the ~28 ms dispatch floor for the fastest kernels
+    (sub-µs/step) and fails the linearity band."""
+    import jax
+    import jax.numpy as jnp
+
+    call = make_call_runner(inner_eps)
+
+    def make_run(R):
+        def fn(seed):
+            def body(acc, i):
+                return acc + call(seed * 131 + i), 0
+
+            acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(R))
+            return acc
+
+        return jax.jit(fn)
+
+    r = _measure_slope(make_run, 2)
+    per_ep_ms = r["per_step_us"] * 1e-3 / inner_eps
+    r["per_episode_ms"] = round(per_ep_ms, 4)
+    r["per_step_us"] = round(per_ep_ms * 1e3 / T, 4)
+    r["episodes_per_kernel"] = inner_eps
+    r["scan_lengths"] = [f"{e}x{inner_eps} episodes" for e in r["scan_lengths"]]
     return r
 
 
@@ -237,18 +262,21 @@ def bench_supplychain_fused(cc, B, T=360):
         print(f"WARNING: fused collect parity failed (obs {obs_err:.2e}, "
               f"rel reward {rel:.2e})", file=sys.stderr)
 
-    # ---- timing (mode='random', slope over episodes-per-dispatch) -------
-    def make_run(eps):
+    # ---- timing (mode='random', R kernel calls per dispatch) ------------
+    def make_call_runner(eps):
         run = make_supplychain_collect_pallas(cc, T, B, mode="random",
                                               episodes=eps)
 
-        def fn(seed):
+        def call(seed):
             obs, rew = run(seed)
             return obs.sum() + rew.sum()
 
-        return jax.jit(fn)
+        return call
 
-    r = _fused_result(make_run, T)
+    # 8 episodes per kernel: ~26 ms (linear) / ~176 ms (ntom) of marginal
+    # device work across the R sweep, with one call's trajectory buffers
+    # at ~1-1.6 GB — well under HBM
+    r = _fused_result(make_call_runner, T, inner_eps=8)
     r["parity"] = {"mode": "actions", "B": Bp,
                    "max_abs_obs_err_vs_scan": float(f"{obs_err:.2e}"),
                    "max_rel_reward_err_vs_scan": float(f"{rel:.2e}"),
@@ -305,17 +333,21 @@ def bench_beergame_fused(B, weeks=35):
         print(f"WARNING: beergame collect parity failed (obs {obs_err}, "
               f"reward {rew_err})", file=sys.stderr)
 
-    def make_run(eps):
+    def make_call_runner(eps):
         run = make_beergame_collect_pallas(weeks, L, B, episodes=eps,
                                            mode="random")
 
-        def fn(seed):
+        def call(seed):
             obs, rew = run(demand, seed)
-            return obs.sum() + rew.sum()
+            # f32 accumulation: an int32 sum over ~16 M emitted ints wraps
+            return obs.astype(jnp.float32).sum() + rew.astype(
+                jnp.float32).sum()
 
-        return jax.jit(fn)
+        return call
 
-    r = _fused_result(make_run, weeks, base_eps=50)
+    # 400 episodes per kernel: ~16 µs each, so the R sweep carries ~38 ms
+    # of marginal device work; one call's trajectory buffers ~0.9 GB
+    r = _fused_result(make_call_runner, weeks, inner_eps=400)
     r["parity"] = {"mode": "actions", "B": B, "episodes": E,
                    "bit_exact": parity_ok}
     return r

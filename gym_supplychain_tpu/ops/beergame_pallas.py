@@ -188,7 +188,7 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
     ring_ref[slot] = jnp.zeros((L, ring_ref.shape[-1]), jnp.int32)
 
     # 2. fill orders (incoming = [customer demand, upstream's orders])
-    demand_row = demand_ref[0]                              # [B]
+    demand_row = demand_ref[0, 0]                           # [B]
     placed = orders_ref[:]
     incoming = jnp.concatenate([demand_row[None, :], placed[:-1]], axis=0)
     orders_to_fill = incoming + back_ref[:]
@@ -260,7 +260,10 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
         ring=ring, init_delay=init_delay, init_ship=init_ship,
         init_orders=init_orders, init_inv=init_inv, inv_cost=inv_cost,
         backlog_cost=backlog_cost, max_order=max_order)
-    in_specs = [pl.BlockSpec((1, B), lambda t: (t, 0))]      # demand row
+    # demand rows carry a singleton middle axis: TPU lowering requires a
+    # block's last two dims to divide (8, 128) or equal the array's, and a
+    # (1, B) block over [S, B] does neither
+    in_specs = [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
     if mode == "random":
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
@@ -287,7 +290,7 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
         demand = jnp.asarray(demand, jnp.int32)
         if demand.ndim == 1:
             demand = jnp.broadcast_to(demand[:, None], (weeks, B))
-        demand = jnp.tile(demand, (episodes, 1))             # [S, B]
+        demand = jnp.tile(demand, (episodes, 1))[:, None]    # [S, 1, B]
         if mode == "random":
             second = jnp.asarray(second, jnp.int32).reshape((1,))
         else:
