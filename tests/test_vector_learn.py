@@ -213,7 +213,8 @@ def test_ntom_ppo_matches_tuned_base_stock():
     of serving one unit is ~2*product_cost, envs/presets.py
     SupplyChainNtoMEnv) makes near-idle policies near-optimal, so the
     tuned heuristic already sits close to the optimum; PPO consistently
-    edges it by ~0.5-0.6% (full-horizon T=360 comparison:
+    edges it by ~0.2-0.3% (full-horizon T=360 comparison, 4096 envs,
+    interior-bracketed z grid:
     benchmarks/results/compare_baseline_ntom.json, docs/TRAINING.md)."""
     import gym_supplychain_tpu as sct
     from gym_supplychain_tpu.learn.evaluate import make_evaluator
