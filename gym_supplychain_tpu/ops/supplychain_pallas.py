@@ -184,14 +184,41 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             out = jnp.where(idxc == k, lt_row[k], out)
         return out
 
+    # supplies per node: the fired-supply counter nf is bounded by the
+    # number of supply (n, p) pairs at the node, so column gathers at
+    # base + nf only ever touch base..base+n_sup[n] — select over those
+    # few candidates instead of all K columns (for single-product chains
+    # that is a 2-way select vs a K-way one-hot; the K-wide gathers were
+    # ~40% of the ntom collect kernel's per-step op count)
+    n_sup = np.asarray(has_supply, np.int64).sum(axis=1).astype(int)
+
+    def _gather_lt_nf(lt_row, base, nf, nmax):
+        """lt_row[base + nf] with STATIC base and nf in [0, nmax] — the
+        bounded-counter fast path of _gather_lt (identical result: the
+        original clips to K-1, and base + nmax <= K-1 + slack is clipped
+        the same way here)."""
+        out = lt_row[min(int(base), K - 1)]
+        for c in range(1, int(nmax) + 1):
+            out = jnp.where(nf == c, lt_row[min(int(base) + c, K - 1)], out)
+        return out
+
     # -- shared phase implementation (all kernels; op order is bit-pinned
     # against core/step.py by the parity tests) ----------------------------
-    def _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t):
+    def _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t, tb=None):
         """One env step: mutates stock/ring refs, returns reward [B].
 
         ``a`` [A, B] already in [0, 1]; ``dem_row`` [R, P, B];
-        ``lt_row`` [K, B] int32 (stochastic) or None; ``t`` traced step."""
-        slot = t % RING
+        ``lt_row`` [K, B] int32 (stochastic) or None; ``t`` traced step.
+        ``tb``: when the caller statically knows ``t % RING`` (the
+        RING-unrolled collect kernel), the static value — every ring access
+        then lowers to a static VMEM address instead of a dynamic slice,
+        which is the difference between ~9 and ~3 us/step on the
+        stochastic-lead-time configs."""
+
+        def rslot(off):
+            return (tb + off) % RING if tb is not None else (t + off) % RING
+
+        slot = rslot(0)
         reward = jnp.zeros((B,), f32)
 
         # phase 1+2: arrivals, stock-capacity penalty ----------------------
@@ -232,14 +259,14 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 reward = reward - amt * supply_cost[n, p]
                 fired = amt > 0
                 if stochastic:
-                    lt = _gather_lt(lt_row, lt_base[n] + nf)
+                    lt = _gather_lt_nf(lt_row, lt_base[n], nf, n_sup[n])
                     nf = nf + fired.astype(i32)
                     for L in range(1, Lmax + 1):
-                        s = (t + L) % RING
+                        s = rslot(L)
                         ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
                             fired & (lt == L), amt, 0.0)
                 else:
-                    s = (t + Lavg) % RING
+                    s = rslot(Lavg)
                     ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
                         fired, amt, 0.0)
             nf_node[n] = nf
@@ -252,8 +279,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 # transport columns follow the fired supplies, one per
                 # destination, shared across products (:270, :344-348);
                 # only real edges are ever consumed, skip masked slots
-                lt_d = [_gather_lt(lt_row,
-                                   int(lt_base[n] + d) + nf_node[n])
+                lt_d = [_gather_lt_nf(lt_row, int(lt_base[n] + d),
+                                      nf_node[n], n_sup[n])
                         if edge_mask[n, d] else None
                         for d in range(Dmax)]
             avail_proc = jnp.full((B,), proc_cap[n], f32)
@@ -372,7 +399,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 stock_ref[n, p] = stocks[n][p]
         # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
         for (L, n, p), amt in upd.items():
-            s = (t + L) % RING
+            s = rslot(L)
             ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
         return reward
@@ -390,12 +417,17 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     # init_pipe[j] arrives at t=1+j -> ring slot 1+j
                     ring_ref[r, n, p] = jnp.full((B,), v, f32)
 
-    def _obs_build(stock_ref, ring_ref, dem, t, te):
+    def _obs_build(stock_ref, ring_ref, dem, t, te, tb=None):
         """Observation [O, B] from live VMEM state (mirrors core/step.py
         obs_fn: state at episode step te, pipe[j] = ring[(t + j) % RING]).
 
         ``dem`` [R, P, B] current demand row; ``te`` episode step (for the
-        remaining-time feature); ``t = te + 1``."""
+        remaining-time feature); ``t = te + 1``; ``tb`` the static value of
+        ``t % RING`` when the caller knows it (see _env_phases)."""
+
+        def rslot(off):
+            return (tb + off) % RING if tb is not None else (t + off) % RING
+
         rows = []
         for r in range(R):
             for p in range(P):
@@ -407,12 +439,12 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 rows.append(stock_ref[n, p] / stock_cap[n, p])
             for p in range(P):
                 for j in range(Lavg - 1):
-                    pj = ring_ref[(t + j) % RING, n, p]
+                    pj = ring_ref[rslot(j), n, p]
                     rows.append(pj / ms_safe[n, p]
                                 if ms_ok[n, p] else jnp.zeros((B,), f32))
                 tail = jnp.zeros((B,), f32)
                 for j in range(Lavg - 1, RING - 1):
-                    tail = tail + ring_ref[(t + j) % RING, n, p]
+                    tail = tail + ring_ref[rslot(j), n, p]
                 rows.append(tail / (ms_safe[n, p] * (Lmax - (Lavg - 1)))
                             if ms_ok[n, p] else jnp.zeros((B,), f32))
         remaining = (T - te).astype(f32) / T
@@ -514,16 +546,24 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                              lt_row, demand_ref[0], t)
         reward_ref[0, 0] = reward
 
-    def _collect_kernel(*refs, mode: str, n_w: int = 0):
+    def _collect_kernel(*refs, mode: str, n_w: int = 0, unroll: int = 1):
         """Trajectory-emitting rollout over ``episodes`` back-to-back
         episodes (auto-reset at each boundary).
 
         mode: 'random' (PRNG actions + PRNG inputs; the headline workload),
         'actions' (tables; parity), 'policy' (PRNG inputs + sampled MLP
         policy; the PPO collection workload), 'policy_eps' (tables + noise
-        table; parity)."""
+        table; parity).
+
+        ``unroll``: steps per grid iteration.  When ``unroll == RING`` and
+        ``T % RING == 0`` (enforced by _build_collect), step j of every
+        group has ``t % RING == (j + 1) % RING`` STATICALLY, so all ring
+        accesses lower to static VMEM addresses — the dominant cost of the
+        stochastic-lead-time configs is otherwise the ~60 dynamic-slice
+        ring read-modify-writes per step."""
         prng_inputs = mode in ("random", "policy")
         policy = mode in ("policy", "policy_eps")
+        static_slots = unroll == RING and T % RING == 0
         i = 0
         demand_ref = lt_ref = act_ref = eps_ref = seed_ref = None
         if not prng_inputs:
@@ -545,59 +585,68 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             obs_ref, reward_ref, stock_ref, ring_ref = refs[i:i + 4]
 
         ti = pl.program_id(0)
-        te = ti % T                      # step within the current episode
-        t = te + 1
-
-        @pl.when(te == 0)
-        def _init():
-            _episode_init(stock_ref, ring_ref)
-
         if prng_inputs:
+            # one seed per grid iteration; draws advance in j order
             pltpu.prng_seed(seed_ref[0], ti)
-            dem_row, lt_row = _draw_step_inputs(te)
-        else:
-            dem_row = demand_ref[0]
-            lt_row = lt_ref[0] if stochastic else None
 
-        obs = _obs_build(stock_ref, ring_ref, dem_row, t, te)
-        obs_ref[0] = obs
+        for j in range(unroll):
+            te = (ti * unroll + j) % T   # step within the current episode
+            t = te + 1
+            tb = (j + 1) % RING if static_slots else None
 
-        if mode == "random":
-            a_raw = _uniform_pm1((A, B))
-        elif mode == "actions":
-            a_raw = act_ref[0]
-        else:
-            # sampled tanh-Gaussian policy (models/policy.py
-            # sample_tanh_gaussian): actor trunk+mu on the MXU, noise from
-            # the on-chip PRNG (Box-Muller) or the parity table.
-            # weight layout (_flat_actor_critic): actor trunk + mu head
-            # (2L+2), critic trunk + v head (2L+2), log_std (1)
-            n_actor = (n_w - 1) // 2
-            actor_w = w_refs[:n_actor]
-            critic_w = w_refs[n_actor:n_w - 1]
-            log_std_ref = w_refs[n_w - 1]
-            mu = _mlp(actor_w, obs)                           # [A,B]
-            log_std = jnp.clip(log_std_ref[...], _LOG_STD_MIN, _LOG_STD_MAX)
-            std = jnp.exp(log_std)                            # [A,1]
-            if mode == "policy":
-                eps = _box_muller(_uniform_01((A, B)), _uniform_01((A, B)))
+            if j == 0:
+                @pl.when(te == 0)
+                def _init():
+                    _episode_init(stock_ref, ring_ref)
+
+            if prng_inputs:
+                dem_row, lt_row = _draw_step_inputs(te)
             else:
-                eps = eps_ref[0]
-            pre = mu + std * eps
-            a_raw = jnp.tanh(pre)
-            # tanh-Gaussian log-density (models/policy.py tanh_gaussian_logp)
-            g = -0.5 * (((pre - mu) / std) ** 2 + 2 * log_std
-                        + math.log(2 * math.pi))
-            corr = 2 * (math.log(2.0) - pre - _softplus(-2.0 * pre))
-            logp = (g - corr).sum(axis=0)
-            v = _mlp(critic_w, obs)                           # [1,B]
-            actout_ref[0] = pre
-            logp_ref[0, 0] = logp
-            value_ref[0, 0] = v[0]
+                dem_row = demand_ref[j]
+                lt_row = lt_ref[j] if stochastic else None
 
-        a = (a_raw + 1.0) * 0.5
-        reward = _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t)
-        reward_ref[0, 0] = reward
+            obs = _obs_build(stock_ref, ring_ref, dem_row, t, te, tb)
+            obs_ref[j] = obs
+
+            if mode == "random":
+                a_raw = _uniform_pm1((A, B))
+            elif mode == "actions":
+                a_raw = act_ref[j]
+            else:
+                # sampled tanh-Gaussian policy (models/policy.py
+                # sample_tanh_gaussian): actor trunk+mu on the MXU, noise
+                # from the on-chip PRNG (Box-Muller) or the parity table.
+                # weight layout (_flat_actor_critic): actor trunk + mu head
+                # (2L+2), critic trunk + v head (2L+2), log_std (1)
+                n_actor = (n_w - 1) // 2
+                actor_w = w_refs[:n_actor]
+                critic_w = w_refs[n_actor:n_w - 1]
+                log_std_ref = w_refs[n_w - 1]
+                mu = _mlp(actor_w, obs)                       # [A,B]
+                log_std = jnp.clip(log_std_ref[...],
+                                   _LOG_STD_MIN, _LOG_STD_MAX)
+                std = jnp.exp(log_std)                        # [A,1]
+                if mode == "policy":
+                    eps = _box_muller(_uniform_01((A, B)),
+                                      _uniform_01((A, B)))
+                else:
+                    eps = eps_ref[j]
+                pre = mu + std * eps
+                a_raw = jnp.tanh(pre)
+                # tanh-Gaussian log-density (policy.py tanh_gaussian_logp)
+                g = -0.5 * (((pre - mu) / std) ** 2 + 2 * log_std
+                            + math.log(2 * math.pi))
+                corr = 2 * (math.log(2.0) - pre - _softplus(-2.0 * pre))
+                logp = (g - corr).sum(axis=0)
+                v = _mlp(critic_w, obs)                       # [1,B]
+                actout_ref[j] = pre
+                logp_ref[j, 0] = logp
+                value_ref[j, 0] = v[0]
+
+            a = (a_raw + 1.0) * 0.5
+            reward = _env_phases(stock_ref, ring_ref, a, lt_row, dem_row,
+                                 t, tb)
+            reward_ref[j, 0] = reward
 
     # ------------------------------------------------------------------
     # pallas_call builders
@@ -634,32 +683,37 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         return lambda *args: call(*args).squeeze(1)
 
     def _build_collect(mode, episodes: int, n_w=0):
-        kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w)
         S = episodes * T
+        # RING-step groups: all ring slots static inside the kernel (see
+        # _collect_kernel).  Falls back to one step per grid iteration when
+        # the horizon doesn't align.
+        U = RING if T % RING == 0 else 1
+        kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w,
+                                   unroll=U)
         prng_inputs = mode in ("random", "policy")
         policy = mode in ("policy", "policy_eps")
         in_specs = []
         if not prng_inputs:
-            in_specs.append(pl.BlockSpec((1, R, P, B), lambda t: (t, 0, 0, 0)))
+            in_specs.append(pl.BlockSpec((U, R, P, B), lambda t: (t, 0, 0, 0)))
             if stochastic:
-                in_specs.append(pl.BlockSpec((1, K, B), lambda t: (t, 0, 0)))
-            in_specs.append(pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)))
+                in_specs.append(pl.BlockSpec((U, K, B), lambda t: (t, 0, 0)))
+            in_specs.append(pl.BlockSpec((U, A, B), lambda t: (t, 0, 0)))
         else:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         if policy:
             in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(n_w))
         out_shapes = [jax.ShapeDtypeStruct((S, O, B), f32)]
-        out_specs = [pl.BlockSpec((1, O, B), lambda t: (t, 0, 0))]
+        out_specs = [pl.BlockSpec((U, O, B), lambda t: (t, 0, 0))]
         if policy:
             out_shapes += [jax.ShapeDtypeStruct((S, A, B), f32),
                            jax.ShapeDtypeStruct((S, 1, B), f32),
                            jax.ShapeDtypeStruct((S, 1, B), f32)]
-            out_specs += [pl.BlockSpec((1, A, B), lambda t: (t, 0, 0)),
-                          pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)),
-                          pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
+            out_specs += [pl.BlockSpec((U, A, B), lambda t: (t, 0, 0)),
+                          pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0)),
+                          pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0))]
         out_shapes.append(jax.ShapeDtypeStruct((S, 1, B), f32))
-        out_specs.append(pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)))
+        out_specs.append(pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0)))
         # the policy modes' MLP temporaries ([hidden, B] activations for the
         # actor + critic trunks) overflow the default 16 MiB scoped-VMEM
         # stack at B=4096; v5e has 128 MiB of VMEM, so raise the limit
@@ -667,7 +721,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                   pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
         return pl.pallas_call(
             kernel,
-            grid=(S,),
+            grid=(S // U,),
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
