@@ -137,8 +137,11 @@ def make_base_stock_policy(cc: CompiledChain, targets,
         v_shp = jnp.clip(jnp.cumsum(frac, axis=2), 0.0, 1.0)
 
         a = jnp.zeros((cc.A, B), stock.dtype)
-        a = a.at[sup_idx].set(v_sup[sup_rows, sup_prods])
-        a = a.at[shp_idx].set(v_shp[shp_n, shp_p, shp_d])
+        # explicit casts: under x64 the NumPy float64 capacity constants
+        # promote v_sup/v_shp to f64, and a f64->f32 scatter is a
+        # FutureWarning today and an error on future JAX
+        a = a.at[sup_idx].set(v_sup[sup_rows, sup_prods].astype(a.dtype))
+        a = a.at[shp_idx].set(v_shp[shp_n, shp_p, shp_d].astype(a.dtype))
         return (2.0 * a - 1.0).astype(dtype)
 
     return policy

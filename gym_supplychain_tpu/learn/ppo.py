@@ -203,7 +203,7 @@ class FusedTrainState(NamedTuple):
 def make_ppo_fused(cc: CompiledChain, batch_size: int,
                    cfg: PPOConfig = PPOConfig(), episodes: int = 1,
                    noise: str = "prng", reward_scale: float = 1e-4,
-                   interpret: bool = False):
+                   interpret: bool = False, mesh=None):
     """PPO with the trajectory-emitting fused Pallas collection path.
 
     Collection runs whole ``cc.T``-step episodes (``episodes`` back-to-back
@@ -224,6 +224,18 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
     per-episode tables + a normal noise table through the 'policy_eps'
     kernel — stream-reproducible and CPU-runnable (interpret mode).
 
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``'data'`` axis makes the
+    collection kernel mesh-shardable (VERDICT r3 item 1): one kernel
+    instance runs per 'data' shard over ``batch_size // n_data`` env lanes
+    via ``shard_map`` (params replicated into every instance), and the
+    GAE/update phases run on the batch-sharded trajectory with XLA
+    inserting the loss/gradient collectives.  In table mode the per-lane
+    tables are drawn GLOBALLY from the iteration key before sharding, so
+    the sharded run is lane-for-lane identical to the unsharded one
+    (asserted by ``__graft_entry__.dryrun_multichip``); in prng mode each
+    shard folds its data-axis index into the kernel seed (independent
+    streams — not reproducible across different mesh shapes).
+
     Returns ``(init_fn, train_step)``; episodes are whole, so no bootstrap
     value is needed (the terminal step's nonterminal mask is 0).
     """
@@ -237,9 +249,29 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
     from ..ops.supplychain_pallas import make_supplychain_collect_pallas
     from ..rng.device import device_demand_tables, device_leadtime_tables
     mode = "policy" if noise == "prng" else "policy_eps"
-    run = make_supplychain_collect_pallas(cc, T, B, mode=mode, episodes=E,
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if B % max(n_data, 1) != 0:
+        raise ValueError(f"batch_size {B} not divisible by data axis "
+                         f"{n_data}")
+    Bk = B // n_data                     # per-kernel-instance lanes
+    run = make_supplychain_collect_pallas(cc, T, Bk, mode=mode, episodes=E,
                                           hidden=cfg.hidden,
                                           interpret=interpret)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+        _b4 = _P(None, None, None, "data")   # [S, R, P, B] demand tables
+        _b3 = _P(None, None, "data")         # [S, X, B] batch-trailing
+        _b2 = _P(None, "data")               # [S, B]
+        _repl = _P()
+        # run's outputs: obs [S,O,B], act_pre [S,A,B], logp/value/rew [S,B]
+        _policy_out = (_b3, _b3, _b2, _b2, _b2)
+
+        def _shard3(f, in_specs):
+            # pallas calls inside shard_map need the varying-manual-axes
+            # check off (kernel outputs carry no replication info)
+            return shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=_policy_out, check_vma=False)
     # one whole episode per lane per iteration => terminal at step T-1
     done = (jnp.arange(S) % T) == T - 1
     _gae = _make_gae(cfg)
@@ -251,24 +283,54 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
         return FusedTrainState(params=params, opt_state=tx.init(params),
                                key=kk)
 
+    def _draw_tables(key):
+        """Global per-episode tables: [S, ..., B] with the S axis holding
+        ``episodes`` fresh episodes back-to-back (the kernel's grid step t
+        reads table row t; rows [e*T, (e+1)*T) are episode e's).  Row T of
+        a demand table is only visible in the post-terminal obs, which
+        collection never emits — drop it."""
+        kd, kl, ke = jax.random.split(key, 3)
+        dem = jax.vmap(lambda k: device_demand_tables(k, cc, B)[:T])(
+            jax.random.split(kd, E)).reshape(S, cc.R, cc.P, B)
+        eps = jax.random.normal(ke, (S, cc.A, B), jnp.float32)
+        lt = None
+        if cc.stochastic_leadtimes:
+            lt = jax.vmap(lambda k: device_leadtime_tables(k, cc, B))(
+                jax.random.split(kl, E)).reshape(S, cc.K, B)
+        return dem, lt, eps
+
     def _collect(params, key):
+        if mesh is not None:
+            return _collect_sharded(params, key)
         if noise == "prng":
             seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
                                       jnp.int32)
             return run(params, seed)
-        kd, kl, ke = jax.random.split(key, 3)
-        # fresh per-episode tables, concatenated along the S axis (the
-        # kernel's grid step t reads table row t; rows [e*T, (e+1)*T) are
-        # episode e's).  Row T of a demand table is only visible in the
-        # post-terminal obs, which collection never emits — drop it.
-        dem = jax.vmap(lambda k: device_demand_tables(k, cc, B)[:T])(
-            jax.random.split(kd, E)).reshape(S, cc.R, cc.P, B)
-        eps = jax.random.normal(ke, (S, cc.A, B), jnp.float32)
-        if cc.stochastic_leadtimes:
-            lt = jax.vmap(lambda k: device_leadtime_tables(k, cc, B))(
-                jax.random.split(kl, E)).reshape(S, cc.K, B)
+        dem, lt, eps = _draw_tables(key)
+        if lt is not None:
             return run(dem, lt, eps, params)
         return run(dem, eps, params)
+
+    def _collect_sharded(params, key):
+        pspec = jax.tree.map(lambda _: _P(), params)
+        if noise == "prng":
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                      jnp.int32)
+
+            def inner(params, seed):
+                idx = jax.lax.axis_index("data").astype(jnp.int32)
+                # distinct per-shard stream: large odd multiplier keeps
+                # shards far apart in the (seed, step) seeding space
+                return run(params, seed ^ (idx * jnp.int32(0x3504f333)))
+
+            return _shard3(inner, (pspec, _repl))(params, seed)
+        dem, lt, eps = _draw_tables(key)
+        if lt is not None:
+            f = _shard3(lambda d, l, e, p: run(d, l, e, p),
+                        (_b4, _b3, _b3, pspec))
+            return f(dem, lt, eps, params)
+        f = _shard3(lambda d, e, p: run(d, e, p), (_b4, _b3, pspec))
+        return f(dem, eps, params)
 
     def train_step(state: FusedTrainState):
         key, kr = jax.random.split(state.key)

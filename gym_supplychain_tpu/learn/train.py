@@ -34,7 +34,8 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="collect whole episodes through the Pallas fused "
                         "kernel (learn/ppo.py::make_ppo_fused; supply-chain "
-                        "envs, single chip)")
+                        "envs; on >1 device one kernel instance runs per "
+                        "'data'-axis shard via shard_map)")
     p.add_argument("--fused-episodes", type=int, default=1)
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
@@ -57,6 +58,18 @@ def main(argv=None):
 
     cfg = PPOConfig(rollout_steps=args.rollout_steps, epochs=args.epochs,
                     lr=args.lr, hidden=tuple(args.hidden))
+    key = jax.random.PRNGKey(args.seed)
+    n_dev = len(jax.devices())
+    if args.fused and args.model_axis > 1:
+        raise SystemExit("--fused shards the collection kernel over the "
+                         "'data' axis with replicated params; --model-axis "
+                         "applies to the scan-path trainer only")
+    mesh = None
+    if n_dev > 1:
+        mesh = make_mesh(data=n_dev // args.model_axis,
+                         model=args.model_axis)
+        print(f"# mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+
     if args.env.startswith("beergame"):
         init_fn, train_step = make_beergame_ppo(
             args.envs, cfg, v2=args.env.endswith("v2"))
@@ -64,22 +77,27 @@ def main(argv=None):
         from gym_supplychain_tpu.learn.ppo import make_ppo_fused
         cc = sct.make(args.env, total_time_steps=args.horizon).cc
         init_fn, train_step = make_ppo_fused(cc, args.envs, cfg,
-                                             episodes=args.fused_episodes)
+                                             episodes=args.fused_episodes,
+                                             mesh=mesh)
     else:
         cc = sct.make(args.env, total_time_steps=args.horizon).cc
         init_fn, train_step = make_ppo(cc, args.envs, cfg)
 
-    key = jax.random.PRNGKey(args.seed)
-    n_dev = len(jax.devices())
-    if args.fused and n_dev > 1:
-        raise SystemExit("--fused runs the Pallas collection kernel on a "
-                         "single chip; drop --fused for sharded training")
-    if n_dev > 1:
+    if mesh is not None and args.fused:
+        # FusedTrainState is fully replicated (params/opt/key); the
+        # trajectory sharding comes from the shard_map inside train_step
+        repl = replicated(mesh)
+        sh = jax.tree.map(lambda _: repl, jax.eval_shape(init_fn, key))
+        state = jax.jit(init_fn, out_shardings=sh)(key)
+        step_jit = jax.jit(
+            train_step, in_shardings=(sh,),
+            out_shardings=(sh, {"loss": repl, "mean_reward": repl,
+                                "mean_value": repl}))
+    elif mesh is not None:
         # global shardings at creation time: required for multi-process
         # (multi-host) runs, where arrays built outside jit are committed to
         # process-local devices
         from gym_supplychain_tpu.parallel.mesh import train_state_shardings
-        mesh = make_mesh(data=n_dev // args.model_axis, model=args.model_axis)
         shapes = jax.eval_shape(init_fn, key)
         sh = train_state_shardings(
             mesh, shapes, "model" if args.model_axis > 1 else None)
@@ -89,7 +107,6 @@ def main(argv=None):
             train_step, in_shardings=(sh,),
             out_shardings=(sh, {"loss": repl, "mean_reward": repl,
                                 "mean_value": repl}))
-        print(f"# mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
     else:
         state = init_fn(key)
         step_jit = jax.jit(train_step)

@@ -31,8 +31,16 @@ action-dependent column consumption (supplychain_env.py:252-254, :270,
 :344-348, :374-375; SURVEY.md §2.1-5): each node's supply column index
 advances only for supplied amounts > 0, and its transport columns start
 after the fired supplies, one per destination, shared across products.
-Column gathers are unrolled one-hot selects over the K columns (K is a
-small static constant of the chain).
+Column gathers exploit the bounded fired-supply counter: the column index
+is a STATIC base plus a counter in [0, n_sup[n]], so each gather is a
+small select over the few reachable columns, not a K-way one-hot.
+
+Stream-compatibility note: in 'random'/'policy' collect modes the on-chip
+PRNG is seeded per grid iteration from ``(seed, iteration)``; since the
+RING-unrolled kernels (r3) a grid iteration covers RING consecutive steps,
+so seeded streams differ from pre-r3 releases (which seeded per step).
+Distribution parity is unaffected (tests/test_rng_distribution.py); only
+same-seed reproducibility across versions is not guaranteed.
 
 All node/product/destination loops are unrolled at trace time (they are
 small static constants of the compiled chain); the sorted cut uses an
@@ -175,14 +183,6 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     dem_rangev = np.asarray(cc.dem_range, np.float32)
 
     lt_cdf = poisson_clip_thresholds(Lavg - 1, Lmax) if stochastic else None
-
-    def _gather_lt(lt_row, idx):
-        """One-hot gather: lt_row[K, B] int32, idx[B] int32 -> [B]."""
-        idxc = jnp.clip(idx, 0, K - 1)
-        out = jnp.zeros((B,), i32)
-        for k in range(K):
-            out = jnp.where(idxc == k, lt_row[k], out)
-        return out
 
     # supplies per node: the fired-supply counter nf is bounded by the
     # number of supply (n, p) pairs at the node, so column gathers at

@@ -168,23 +168,37 @@ def test_vec_beergame_v2_host_stream_parity():
                          **kw)
     singles = [BeerGameEnv2(seed=seed + b, **kw) for b in range(B)]
     rs = np.random.RandomState(0)
-    for _ in range(2):                      # consecutive episodes, one stream
-        vec.reset()
+    vec.reset()                             # episode 1 tables
+    for ep in range(2):                     # consecutive episodes, one stream
         for b, env in enumerate(singles):
             env.reset()
             np.testing.assert_array_equal(vec.customer_demand[:, b],
                                           env.customer_demand)
             np.testing.assert_array_equal(vec.shipment_delays[:, b],
                                           env.shipment_delays)
-        for _ in range(vec.max_weeks):
+        for w in range(vec.max_weeks):
             a = rs.randint(0, 20, size=(4, B))
             obs, reward, done = vec.step(a)
             obs, reward = jax.device_get((obs, reward))
+            terminal = w == vec.max_weeks - 1
             for b, env in enumerate(singles):
                 o, r, d, _ = env.step(a[:, b])
-                np.testing.assert_array_equal(obs[:, b], o)
+                # the vec env auto-resets at the boundary: the terminal
+                # step's obs is the FRESH episode's initial observation
+                # (checked via the table compare at the top of the next
+                # episode); non-terminal obs must match bit-exactly
+                if not terminal:
+                    np.testing.assert_array_equal(obs[:, b], o)
                 assert float(reward[b]) == float(r)
                 assert bool(done) == bool(d)
+    # the auto-resets consumed one more table set per lane than the singles;
+    # one more singles reset must land on the same stream position
+    for b, env in enumerate(singles):
+        env.reset()
+        np.testing.assert_array_equal(vec.customer_demand[:, b],
+                                      env.customer_demand)
+        np.testing.assert_array_equal(vec.shipment_delays[:, b],
+                                      env.shipment_delays)
 
 
 def test_vec_beergame_v2_device_stochastic_draws():

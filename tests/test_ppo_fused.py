@@ -56,6 +56,66 @@ def test_fused_train_step_stochastic_multi_episode():
     assert np.isfinite(float(metrics["mean_value"]))
 
 
+def test_fused_train_step_sharded_matches_unsharded():
+    """make_ppo_fused(mesh=...) runs one collect-kernel instance per 'data'
+    shard via shard_map; with table noise the per-lane inputs are drawn
+    globally, so the sharded train step must reproduce the unsharded one
+    (same seed) to reduction-order tolerance (VERDICT r3 item 1)."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo_fused
+    from gym_supplychain_tpu.parallel.mesh import make_mesh
+
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=6).cc
+    assert cc.stochastic_leadtimes
+    cfg = PPOConfig(hidden=(16, 16), epochs=2)
+    B = 32
+    mesh = make_mesh(data=4, model=2)
+    init_u, step_u = make_ppo_fused(cc, B, cfg, noise="table",
+                                    interpret=True)
+    init_s, step_s = make_ppo_fused(cc, B, cfg, noise="table",
+                                    interpret=True, mesh=mesh)
+    m_u = jax.jit(step_u)(init_u(jax.random.PRNGKey(3)))[1]
+    st_s, m_s = jax.jit(step_s)(init_s(jax.random.PRNGKey(3)))
+    lu, ls = float(m_u["loss"]), float(m_s["loss"])
+    assert abs(ls - lu) <= 1e-5 * max(1.0, abs(lu)), (ls, lu)
+    assert abs(float(m_s["mean_reward"]) - float(m_u["mean_reward"])) \
+        <= 1e-4 * max(1.0, abs(float(m_u["mean_reward"])))
+    # state round-trips through a second sharded step
+    _, m2 = jax.jit(step_s)(st_s)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_fused_sharded_prng_mode_runs():
+    """prng-mode sharding folds the data-axis index into the kernel seed;
+    on CPU the in-kernel PRNG path can't run, but trace-level validity of
+    the shard_map plumbing is still checkable via eval_shape."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo_fused
+    from gym_supplychain_tpu.parallel.mesh import make_mesh
+
+    cc = sct.make("supplychain-linear-v0", total_time_steps=4).cc
+    mesh = make_mesh(data=8, model=1)
+    init_fn, step_fn = make_ppo_fused(cc, 64, PPOConfig(hidden=(8,)),
+                                      noise="prng", mesh=mesh)
+    state = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    out = jax.eval_shape(step_fn, state)
+    assert out[1]["loss"].shape == ()
+
+
+def test_fused_rejects_indivisible_batch():
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import make_ppo_fused
+    from gym_supplychain_tpu.parallel.mesh import make_mesh
+
+    cc = sct.make("supplychain-linear-v0", total_time_steps=4).cc
+    mesh = make_mesh(data=8, model=1)
+    try:
+        make_ppo_fused(cc, 12, mesh=mesh)
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for indivisible batch")
+
+
 def test_fused_rejects_bad_noise():
     import gym_supplychain_tpu as sct
     from gym_supplychain_tpu.learn.ppo import make_ppo_fused
