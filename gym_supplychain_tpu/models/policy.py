@@ -51,14 +51,34 @@ def init_actor_critic(key, cfg: MLPConfig, dtype=jnp.float32) -> Dict[str, Any]:
     return params
 
 
-def actor_critic_forward(params, obs):
-    """obs[obs_dim, B] -> (mu[A, B], log_std[A, 1], value[B])."""
-    a = obs
-    c = obs
-    for layer in params["actor"]:
-        a = jnp.tanh(layer["w"] @ a + layer["b"])
-    for layer in params["critic"]:
-        c = jnp.tanh(layer["w"] @ c + layer["b"])
+def actor_critic_forward(params, obs, compute_dtype=None):
+    """obs[obs_dim, B] -> (mu[A, B], log_std[A, 1], value[B]).
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs the TRUNK matmuls and
+    activations in that dtype with f32 master params — on TPU the MXU
+    multiplies in bf16 either way (default precision), so this saves the
+    HBM traffic of the stored activations, which is what bounds the PPO
+    update phase at large batch.  Heads always compute in the params'
+    dtype (f32): ``mu``/``value`` feed the log-prob and ratio math, which
+    is precision-sensitive.  ``None`` keeps everything in the params'
+    dtype (the rollout/parity path)."""
+    if compute_dtype is not None:
+        a = c = obs.astype(compute_dtype)
+        for layer in params["actor"]:
+            a = jnp.tanh(layer["w"].astype(compute_dtype) @ a
+                         + layer["b"].astype(compute_dtype))
+        for layer in params["critic"]:
+            c = jnp.tanh(layer["w"].astype(compute_dtype) @ c
+                         + layer["b"].astype(compute_dtype))
+        a = a.astype(params["mu"]["w"].dtype)
+        c = c.astype(params["v"]["w"].dtype)
+    else:
+        a = obs
+        c = obs
+        for layer in params["actor"]:
+            a = jnp.tanh(layer["w"] @ a + layer["b"])
+        for layer in params["critic"]:
+            c = jnp.tanh(layer["w"] @ c + layer["b"])
     mu = params["mu"]["w"] @ a + params["mu"]["b"]
     v = (params["v"]["w"] @ c + params["v"]["b"])[0]
     log_std = jnp.clip(params["log_std"], LOG_STD_MIN, LOG_STD_MAX)
