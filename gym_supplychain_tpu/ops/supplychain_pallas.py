@@ -31,9 +31,13 @@ action-dependent column consumption (supplychain_env.py:252-254, :270,
 :344-348, :374-375; SURVEY.md §2.1-5): each node's supply column index
 advances only for supplied amounts > 0, and its transport columns start
 after the fired supplies, one per destination, shared across products.
-Column gathers exploit the bounded fired-supply counter: the column index
-is a STATIC base plus a counter in [0, n_sup[n]], so each gather is a
-small select over the few reachable columns, not a K-way one-hot.
+The table-driven modes reproduce this with per-use gathers hoisted before
+the env phases (``_per_use_lts``; the gathers exploit the bounded
+fired-supply counter — a STATIC base plus a counter in [0, n_sup[n]], so
+each is a small select, not a K-way one-hot).  The PRNG modes draw each
+use directly instead (``_draw_per_use_lts``): the reference consumes a
+distinct iid column per use within a step, so per-use draws are
+distribution-identical and skip the gathers/counters entirely.
 
 Stream-compatibility note: in 'random'/'policy' collect modes the on-chip
 PRNG is seeded per grid iteration from ``(seed, iteration)``; since the
@@ -202,18 +206,83 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             out = jnp.where(nf == c, lt_row[min(int(base) + c, K - 1)], out)
         return out
 
+    # per-use lead-time bookkeeping (stochastic mode): every potential
+    # consumer of a lead-time value within one step — supply (n, p) pairs
+    # and live (n, d) transport edges.  The env phases consume PER-USE
+    # values; computing them is the caller's job (table gathers for the
+    # parity paths, direct iid draws for the PRNG paths).
+    sup_uses = [(n, p) for n in range(N) for p in range(P)
+                if has_supply[n, p]]
+    dst_uses = [(n, d) for n in range(N) if has_ship[n].any()
+                for d in range(Dmax) if edge_mask[n, d]]
+    nU = len(sup_uses) + len(dst_uses)
+
+    def _per_use_lts(lt_row, a):
+        """Reference action-dependent column consumption, hoisted OUT of
+        the env phases (supplychain_env.py:252-254, :270, :344-348,
+        :374-375; SURVEY.md §2.1-5): each node's supply column index
+        advances only for FIRED supplies (amount > 0), and its transport
+        columns start after the fired supplies, one per destination, shared
+        across products.  Fired-ness depends only on the (already scaled)
+        actions ``a`` — not on env state — so the gathers can run before
+        the phases.  Returns ``(lt_sup, lt_dst)`` keyed [n][p] / [n][d]."""
+        lt_sup = [[None] * P for _ in range(N)]
+        lt_dst = [[None] * Dmax for _ in range(N)]
+        for n in range(N):
+            nf = jnp.zeros((B,), i32)
+            for p in range(P):
+                if not has_supply[n, p]:
+                    continue
+                amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
+                lt_sup[n][p] = _gather_lt_nf(lt_row, lt_base[n], nf,
+                                             n_sup[n])
+                nf = nf + (amt > 0).astype(i32)
+            if has_ship[n].any():
+                for d in range(Dmax):
+                    if edge_mask[n, d]:
+                        lt_dst[n][d] = _gather_lt_nf(
+                            lt_row, int(lt_base[n] + d), nf, n_sup[n])
+        return lt_sup, lt_dst
+
+    def _lts_from_u(u):
+        """Uniform rows [nU, B] -> per-use lead-time values (Poisson-clip
+        inverse CDF), keyed like ``_per_use_lts``'s output."""
+        lt = jnp.ones((nU, B), i32)
+        for j in range(lt_cdf.shape[0]):
+            lt = lt + (u >= lt_cdf[j]).astype(i32)
+        lt_sup = [[None] * P for _ in range(N)]
+        lt_dst = [[None] * Dmax for _ in range(N)]
+        for j, (n, p) in enumerate(sup_uses):
+            lt_sup[n][p] = lt[j]
+        off = len(sup_uses)
+        for j, (n, d) in enumerate(dst_uses):
+            lt_dst[n][d] = lt[off + j]
+        return lt_sup, lt_dst
+
+    def _draw_per_use_lts():
+        """Direct per-use iid draws from the on-chip PRNG (the PRNG collect
+        modes): the reference consumes a DISTINCT iid table column per use
+        within a step, so drawing each use directly is
+        distribution-identical (same argument as the dense kernel,
+        ops/supplychain_pallas_dense.py 'Modes') while skipping the column
+        gathers and fired-supply counters entirely."""
+        return _lts_from_u(_uniform_01((nU, B)))
+
     # -- shared phase implementation (all kernels; op order is bit-pinned
     # against core/step.py by the parity tests) ----------------------------
-    def _env_phases(stock_ref, ring_ref, a, lt_row, dem_row, t, tb=None):
+    def _env_phases(stock_ref, ring_ref, a, lts, dem_row, t, tb=None):
         """One env step: mutates stock/ring refs, returns reward [B].
 
         ``a`` [A, B] already in [0, 1]; ``dem_row`` [R, P, B];
-        ``lt_row`` [K, B] int32 (stochastic) or None; ``t`` traced step.
+        ``lts = (lt_sup, lt_dst)`` PER-USE lead-time values ([B] i32 each,
+        from ``_per_use_lts`` table gathers or ``_draw_per_use_lts``) in
+        stochastic mode, else None; ``t`` traced step.
         ``tb``: when the caller statically knows ``t % RING`` (the
         RING-unrolled collect kernel), the static value — every ring access
         then lowers to a static VMEM address instead of a dynamic slice,
         which is the difference between ~9 and ~3 us/step on the
         stochastic-lead-time configs."""
+        lt_sup, lt_dst = lts if stochastic else (None, None)
 
         def rslot(off):
             return (tb + off) % RING if tb is not None else (t + off) % RING
@@ -247,42 +316,34 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             key = (L, n, p)
             upd[key] = upd.get(key, 0) + amt
 
-        # phase 3: supply (:244-259).  Stochastic mode: per-node column
-        # counter advances only for fired (amount > 0) supplies.
-        nf_node = [None] * N         # per-node fired-supply count [B] i32
+        # phase 3: supply (:244-259).  Stochastic mode: the per-use
+        # lead-time values were computed by the caller (gathers or draws).
         for n in range(N):
-            nf = jnp.zeros((B,), i32)
             for p in range(P):
                 if not has_supply[n, p]:
                     continue
                 amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
                 reward = reward - amt * supply_cost[n, p]
-                fired = amt > 0
+                # fired mask folded into the amount once (x + 0 == x, so
+                # masked-out adds are value-identical to the fired & ...
+                # conjunction they replace)
+                amt_f = jnp.where(amt > 0, amt, 0.0)
                 if stochastic:
-                    lt = _gather_lt_nf(lt_row, lt_base[n], nf, n_sup[n])
-                    nf = nf + fired.astype(i32)
+                    lt = lt_sup[n][p]
                     for L in range(1, Lmax + 1):
                         s = rslot(L)
                         ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                            fired & (lt == L), amt, 0.0)
+                            lt == L, amt_f, 0.0)
                 else:
                     s = rslot(Lavg)
-                    ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                        fired, amt, 0.0)
-            nf_node[n] = nf
+                    ring_ref[s, n, p] = ring_ref[s, n, p] + amt_f
 
         # phase 4: ship (:262-375) ------------------------------------
         for n in range(N):
             if not has_ship[n].any():
                 continue
             if stochastic:
-                # transport columns follow the fired supplies, one per
-                # destination, shared across products (:270, :344-348);
-                # only real edges are ever consumed, skip masked slots
-                lt_d = [_gather_lt_nf(lt_row, int(lt_base[n] + d),
-                                      nf_node[n], n_sup[n])
-                        if edge_mask[n, d] else None
-                        for d in range(Dmax)]
+                lt_d = lt_dst[n]
             avail_proc = jnp.full((B,), proc_cap[n], f32)
             avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
                           for d in range(Dmax)]
@@ -303,35 +364,58 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 # core/step.py, so results are bit-exact vs the scan
                 # engine (the clamp binds only on float rounding, but a
                 # single-ULP `amounts` difference flips the branchy
-                # capacity bookkeeping downstream, so op order matters)
-                cuts = [None] * Dmax
-                ranks = [None] * Dmax
-                for d in range(Dmax):
-                    pred = jnp.zeros((B,), f32)
-                    rank = jnp.zeros((B,), i32)
-                    for e in range(Dmax):
-                        if e == d:
-                            continue
-                        before = (dvals[e] <= dvals[d]) if e < d else \
-                                 (dvals[e] < dvals[d])
-                        pred = jnp.where(before,
-                                         jnp.maximum(pred, dvals[e]),
-                                         pred)
-                        rank = rank + before.astype(i32)
-                    cuts[d] = (dvals[d] - pred) * avail_mat
-                    ranks[d] = rank
-                availr = avail_mat
-                amounts = [jnp.zeros((B,), f32) for _ in range(Dmax)]
-                for k in range(Dmax):
-                    cut_k = jnp.zeros((B,), f32)
+                # capacity bookkeeping downstream, so op order matters).
+                # D <= 2 take specialized select forms with the SAME
+                # per-lane FP op sequence at ~half the vector ops (the
+                # selects themselves never round).
+                if Dmax == 1:
+                    # pred = 0, rank = 0: cut = v*avail clamped once
+                    # (v - 0.0 == v exactly; dvals >= 0 so no -0 case)
+                    cut0 = dvals[0] * avail_mat
+                    amounts = [jnp.minimum(cut0, avail_mat)]
+                elif Dmax == 2:
+                    v0, v1 = dvals
+                    swap = v1 < v0          # rank(d0) == 1 iff swap
+                    pred0 = jnp.where(swap, v1, 0.0)
+                    pred1 = jnp.where(swap, 0.0, v0)
+                    cut0 = (v0 - pred0) * avail_mat
+                    cut1 = (v1 - pred1) * avail_mat
+                    cutk0 = jnp.where(swap, cut1, cut0)
+                    cutk1 = jnp.where(swap, cut0, cut1)
+                    amt_k0 = jnp.minimum(cutk0, avail_mat)
+                    availr = avail_mat - amt_k0
+                    amt_k1 = jnp.minimum(cutk1, availr)
+                    amounts = [jnp.where(swap, amt_k1, amt_k0),
+                               jnp.where(swap, amt_k0, amt_k1)]
+                else:
+                    cuts = [None] * Dmax
+                    ranks = [None] * Dmax
                     for d in range(Dmax):
-                        cut_k = cut_k + jnp.where(ranks[d] == k,
-                                                  cuts[d], 0.0)
-                    amt_k = jnp.minimum(cut_k, availr)
-                    availr = availr - amt_k
-                    for d in range(Dmax):
-                        amounts[d] = amounts[d] + jnp.where(
-                            ranks[d] == k, amt_k, 0.0)
+                        pred = jnp.zeros((B,), f32)
+                        rank = jnp.zeros((B,), i32)
+                        for e in range(Dmax):
+                            if e == d:
+                                continue
+                            before = (dvals[e] <= dvals[d]) if e < d else \
+                                     (dvals[e] < dvals[d])
+                            pred = jnp.where(before,
+                                             jnp.maximum(pred, dvals[e]),
+                                             pred)
+                            rank = rank + before.astype(i32)
+                        cuts[d] = (dvals[d] - pred) * avail_mat
+                        ranks[d] = rank
+                    availr = avail_mat
+                    amounts = [jnp.zeros((B,), f32) for _ in range(Dmax)]
+                    for k in range(Dmax):
+                        cut_k = jnp.zeros((B,), f32)
+                        for d in range(Dmax):
+                            cut_k = cut_k + jnp.where(ranks[d] == k,
+                                                      cuts[d], 0.0)
+                        amt_k = jnp.minimum(cut_k, availr)
+                        availr = availr - amt_k
+                        for d in range(Dmax):
+                            amounts[d] = amounts[d] + jnp.where(
+                                ranks[d] == k, amt_k, 0.0)
 
                 # processing clip (factories, :298-310)
                 if is_factory[n]:
@@ -370,16 +454,16 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     reward = reward - a2c * ship_cost[n, p, d]
                     dst = dst_of[(n, d)]
                     # deliver into the destination pipeline (push only
-                    # if > 0, :343-348)
+                    # if > 0, :343-348); a2c can be negative once the
+                    # bug-compatible bookkeeping drives avail_ship below
+                    # zero, so the > 0 mask folds into the amount once
+                    a2cp = jnp.where(a2c > 0, a2c, 0.0)
                     if stochastic:
                         for L in range(1, Lmax + 1):
                             push(L, dst, p,
-                                 jnp.where((a2c > 0) & (lt_d[d] == L),
-                                           a2c, 0.0))
+                                 jnp.where(lt_d[d] == L, a2cp, 0.0))
                     else:
-                        # a2c can be negative once the bug-compatible
-                        # bookkeeping drives avail_ship below zero
-                        push(Lavg, dst, p, jnp.where(a2c > 0, a2c, 0.0))
+                        push(Lavg, dst, p, a2cp)
                 stocks[n][p] = avail_mat - leaving
                 if is_factory[n]:
                     reward = reward - leaving * proc_cost[n, p]
@@ -473,28 +557,27 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         (cfg.std is not None) if cfg.sen_peaks is None else cfg.perturb_norm
         for cfg in cc.demand)
 
-    def _draw_step_inputs(te):
-        """Draw this step's demand row [R, P, B] and lead-time row [K, B]
-        from the (already seeded) on-chip PRNG."""
-        kk = K if stochastic else 0
-        u = _uniform_01((kk + R * P, B))
-        u2 = _uniform_01((R * P, B)) if any_normal_demand else None
-        lt_row = None
-        if stochastic:
-            lt = jnp.ones((K, B), i32)
-            for j in range(lt_cdf.shape[0]):
-                lt = lt + (u[:K] >= lt_cdf[j]).astype(i32)
-            lt_row = lt
+    def _dem_row_from_u(u, u2, te):
+        """Uniform rows [R*P, B] (+ optional normal-source rows) -> demand
+        row [R, P, B] (row layout matches stateless_step_rows)."""
         cols = []
         for p in range(P):
             cfg = cc.demand[p if cc.demand_by_product else 0]
-            # row layout matches stateless_step_rows: u[K:].reshape(R, P)
-            up = jnp.stack([u[kk + r * P + p] for r in range(R)])
+            up = jnp.stack([u[r * P + p] for r in range(R)])
             up2 = (jnp.stack([u2[r * P + p] for r in range(R)])
                    if u2 is not None else None)
             cols.append(_demand_from_u(up, up2, cfg, te, T))
-        dem_row = jnp.stack(cols, axis=1)                   # [R, P, B]
-        return dem_row, lt_row
+        return jnp.stack(cols, axis=1)                      # [R, P, B]
+
+    def _draw_step_inputs(te):
+        """Draw this step's demand row [R, P, B] and per-use lead-time
+        values from the (already seeded) on-chip PRNG.  Lead-times are
+        drawn PER USE (``_draw_per_use_lts``) rather than as a K-column
+        row — distribution-identical, no gathers."""
+        lts = _draw_per_use_lts() if stochastic else None
+        u = _uniform_01((R * P, B))
+        u2 = _uniform_01((R * P, B)) if any_normal_demand else None
+        return _dem_row_from_u(u, u2, te), lts
 
     # ------------------------------------------------------------------
     # kernel bodies
@@ -541,9 +624,11 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         else:
             a = act_ref[0]                                    # [A,B]
         a = (a + 1.0) * 0.5
-        lt_row = lt_ref[0] if stochastic else None            # [K,B]
+        # per-use lead-time gathers on the table row [K,B] (the scaled
+        # actions determine fired-ness, so this runs before the phases)
+        lts = _per_use_lts(lt_ref[0], a) if stochastic else None
         reward = _env_phases(stock_ref, ring_ref, a,
-                             lt_row, demand_ref[0], t)
+                             lts, demand_ref[0], t)
         reward_ref[0, 0] = reward
 
     def _collect_kernel(*refs, mode: str, n_w: int = 0, unroll: int = 1):
@@ -563,7 +648,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         ring read-modify-writes per step."""
         prng_inputs = mode in ("random", "policy")
         policy = mode in ("policy", "policy_eps")
-        static_slots = unroll == RING and T % RING == 0
+        static_slots = unroll % RING == 0 and T % unroll == 0
         i = 0
         demand_ref = lt_ref = act_ref = eps_ref = seed_ref = None
         if not prng_inputs:
@@ -586,8 +671,17 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
 
         ti = pl.program_id(0)
         if prng_inputs:
-            # one seed per grid iteration; draws advance in j order
+            # one seed per grid iteration, and ONE PRNG call for the whole
+            # iteration's stochastic inputs — actions/exploration noise,
+            # per-use lead-times, and demand uniforms for all `unroll`
+            # steps (measured worth ~3% on ntom over per-step calls; the
+            # draws are otherwise volume-bound).  Steps slice their rows
+            # in j order.
             pltpu.prng_seed(seed_ref[0], ti)
+            act_rows = 2 * A if policy else A
+            rps = (act_rows + (nU if stochastic else 0) + R * P
+                   + (R * P if any_normal_demand else 0))
+            ubig = _uniform_01((unroll * rps, B))
 
         for j in range(unroll):
             te = (ti * unroll + j) % T   # step within the current episode
@@ -600,22 +694,33 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     _episode_init(stock_ref, ring_ref)
 
             if prng_inputs:
-                dem_row, lt_row = _draw_step_inputs(te)
+                off = j * rps
+                u_act = ubig[off:off + act_rows]
+                off += act_rows
+                if stochastic:
+                    lts = _lts_from_u(ubig[off:off + nU])
+                    off += nU
+                else:
+                    lts = None
+                ud = ubig[off:off + R * P]
+                off += R * P
+                ud2 = (ubig[off:off + R * P] if any_normal_demand
+                       else None)
+                dem_row = _dem_row_from_u(ud, ud2, te)
             else:
                 dem_row = demand_ref[j]
-                lt_row = lt_ref[j] if stochastic else None
 
             obs = _obs_build(stock_ref, ring_ref, dem_row, t, te, tb)
             obs_ref[j] = obs
 
             if mode == "random":
-                a_raw = _uniform_pm1((A, B))
+                a_raw = 2.0 * u_act - 1.0
             elif mode == "actions":
                 a_raw = act_ref[j]
             else:
                 # sampled tanh-Gaussian policy (models/policy.py
                 # sample_tanh_gaussian): actor trunk+mu on the MXU, noise
-                # from the on-chip PRNG (Box-Muller) or the parity table.
+                # from the fused PRNG rows (Box-Muller) or the parity table.
                 # weight layout (_flat_actor_critic): actor trunk + mu head
                 # (2L+2), critic trunk + v head (2L+2), log_std (1)
                 n_actor = (n_w - 1) // 2
@@ -627,8 +732,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                                    _LOG_STD_MIN, _LOG_STD_MAX)
                 std = jnp.exp(log_std)                        # [A,1]
                 if mode == "policy":
-                    eps = _box_muller(_uniform_01((A, B)),
-                                      _uniform_01((A, B)))
+                    eps = _box_muller(u_act[:A], u_act[A:])
                 else:
                     eps = eps_ref[j]
                 pre = mu + std * eps
@@ -644,7 +748,9 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 value_ref[j, 0] = v[0]
 
             a = (a_raw + 1.0) * 0.5
-            reward = _env_phases(stock_ref, ring_ref, a, lt_row, dem_row,
+            if not prng_inputs:
+                lts = (_per_use_lts(lt_ref[j], a) if stochastic else None)
+            reward = _env_phases(stock_ref, ring_ref, a, lts, dem_row,
                                  t, tb)
             reward_ref[j, 0] = reward
 
@@ -686,8 +792,15 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         S = episodes * T
         # RING-step groups: all ring slots static inside the kernel (see
         # _collect_kernel).  Falls back to one step per grid iteration when
-        # the horizon doesn't align.
-        U = RING if T % RING == 0 else 1
+        # the horizon doesn't align.  GST_COLLECT_UNROLL_MULT > 1 groups
+        # several RING cycles per grid iteration (bigger fusion windows,
+        # one PRNG call per group; costs compile time).
+        import os as _os
+        mult = int(_os.environ.get("GST_COLLECT_UNROLL_MULT", "1"))
+        U = 1
+        if T % RING == 0:
+            U = RING * mult if (mult > 1 and T % (RING * mult) == 0) \
+                else RING
         kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w,
                                    unroll=U)
         prng_inputs = mode in ("random", "policy")
