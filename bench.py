@@ -353,6 +353,127 @@ def bench_beergame_fused(B, weeks=35):
     return r
 
 
+def bench_beergame_v2_stochastic(B, weeks=35):
+    """Beer game v2 with stochastic demand (0,12) and delay (0,4) ranges
+    (reference beergame2_env.py:41-58, :87-92): scan engine vs the fused
+    collect kernel with per-lane delay tables + the v2 penalty/obs/orders
+    semantics (VERDICT r3 item 6).  Parity of the fused 'actions' kernel
+    vs the scan kernel is asserted bit-exactly on-device before timing.
+    Not part of the headline geomean (the BASELINE metric names the three
+    v0/linear/ntom configs); recorded alongside it."""
+    import jax
+    import jax.numpy as jnp
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.envs.vector import make_beergame_table_draw
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    L, MAXD, MS, PEN = 4, 3, 100, 100
+    dem_range, delay_range = (0, 12), (0, 4)      # randint, high exclusive
+    reset_fn, step_fn, _ = make_beergame_kernels(
+        L, weeks, max(MAXD, 2), v2=True, max_stock=MS,
+        exceeded_capacity_penalty=PEN, itype=jnp.int32)
+    draw = make_beergame_table_draw(weeks, dem_range, delay_range,
+                                    None, None, jnp.int32)
+
+    # ---- compiled parity ('actions' mode, per-lane tables, bit-exact) ---
+    E = 2
+    run_par = make_beergame_collect_pallas(
+        weeks, L, B, episodes=E, mode="actions", delay=None, max_delay=MAXD,
+        v2=True, max_stock=MS, exceeded_capacity_penalty=PEN)
+
+    @jax.jit
+    def parity(seed):
+        k = jax.random.PRNGKey(seed)
+        kd, kl, ka = jax.random.split(k, 3)
+        dem = jax.random.randint(kd, (E * weeks, B), *dem_range, jnp.int32)
+        dly = jax.random.randint(kl, (E * weeks, B), *delay_range, jnp.int32)
+        actions = jax.random.randint(ka, (E * weeks, L, B), 0, 16, jnp.int32)
+        pal_obs, pal_rew = run_par(dem, dly, actions)
+
+        def episode(_, xs):
+            d, dl, acts = xs
+            dtab = jnp.concatenate([jnp.full((1, B), 2, jnp.int32), dl])
+            st = reset_fn(d, dtab, [12] * L, 4, 4, B)
+
+            def body(st, a):
+                st, (o, r, _) = step_fn(st, a)
+                return st, (o, r)
+
+            _, (obs, rew) = jax.lax.scan(body, st, acts)
+            return 0, (obs, rew)
+
+        _, (ref_obs, ref_rew) = jax.lax.scan(
+            episode, 0, (dem.reshape(E, weeks, B),
+                         dly.reshape(E, weeks, B),
+                         actions.reshape(E, weeks, L, B)))
+        return (jnp.abs(pal_obs - ref_obs.reshape(E * weeks, L, B)).max(),
+                jnp.abs(pal_rew - ref_rew.reshape(E * weeks, B)).max())
+
+    obs_err, rew_err = (int(x) for x in jax.device_get(parity(0)))
+    parity_ok = obs_err == 0 and rew_err == 0
+    if not parity_ok:
+        print(f"WARNING: beergame v2 collect parity failed (obs {obs_err}, "
+              f"reward {rew_err})", file=sys.stderr)
+
+    # ---- scan engine (fresh stochastic tables at every auto-reset) ------
+    def make_run(steps):
+        def rollout(seed):
+            key = jax.random.key(seed, impl="rbg")
+
+            def fresh(k):
+                dem, dly = draw(k, B)
+                return reset_fn(dem, dly, [12] * L, 4, 4, B)
+
+            st = fresh(key)
+
+            def body(st, k):
+                a = jax.random.randint(k, (L, B), 0, 16)
+                st, (obs, reward, done) = step_fn(st, a)
+                st = jax.lax.cond(
+                    done, lambda _: fresh(jax.random.fold_in(k, 7)),
+                    lambda _: st, None)
+                return st, (reward.astype(jnp.float32).sum()
+                            + obs.astype(jnp.float32).sum())
+
+            ks = jax.random.split(key, steps)
+            st, rews = jax.lax.scan(body, st, ks, unroll=UNROLL_BG)
+            return rews.sum()
+
+        return jax.jit(rollout)
+
+    scan_r = _measure_slope(make_run, 40 * weeks)
+    scan_r["steps_per_s"] = round(B / (scan_r["per_step_us"] * 1e-6), 1)
+
+    # ---- fused collect (per-episode tables drawn on device per call) ----
+    def make_call_runner(eps):
+        run = make_beergame_collect_pallas(
+            weeks, L, B, episodes=eps, mode="random", delay=None,
+            max_delay=MAXD, v2=True, max_stock=MS,
+            exceeded_capacity_penalty=PEN)
+
+        def call(seed):
+            k = jax.random.PRNGKey(seed)
+            kd, kl = jax.random.split(k)
+            dem = jax.random.randint(kd, (eps * weeks, B), *dem_range,
+                                     jnp.int32)
+            dly = jax.random.randint(kl, (eps * weeks, B), *delay_range,
+                                     jnp.int32)
+            obs, rew = run(dem, dly, seed)
+            return (obs.astype(jnp.float32).sum()
+                    + rew.astype(jnp.float32).sum())
+
+        return call
+
+    fused_r = _fused_result(make_call_runner, weeks, inner_eps=400)
+    fused_r["steps_per_s"] = round(B / (fused_r["per_step_us"] * 1e-6), 1)
+    fused_r["parity"] = {"mode": "actions", "B": B, "episodes": E,
+                         "bit_exact": parity_ok}
+    return {"config": f"v2, demand {dem_range}, delays {delay_range}, "
+                      f"max_stock {MS}, penalty {PEN}",
+            "scan": scan_r, "fused_collect": fused_r}
+
+
 def bench_pallas(B):
     """Whole-episode Pallas kernels, compiled on the real device: parity vs
     the scan engine asserted on identical inputs, then timed per episode."""
@@ -387,10 +508,12 @@ def main():
     # overhead.  The headline takes the faster engine per config; parity
     # of each kernel vs the scan engine is asserted above the timing.
     fused = {}
+    bg2 = None
     if os.environ.get("GST_FUSED", "1") != "0":
         fused["supplychain-linear-v0"] = bench_supplychain_fused(linear_cc, B)
         fused["supplychain-ntom-v0"] = bench_supplychain_fused(ntom_cc, B)
         fused["beergame-v0"] = bench_beergame_fused(B)
+        bg2 = bench_beergame_v2_stochastic(B)
 
     steps_per_s = {}
     for k, r in results.items():
@@ -410,8 +533,12 @@ def main():
     details["per_config"] = results
     if fused:
         details["fused_collect"] = fused
+    if bg2 is not None:
+        details["beergame-v2-stochastic"] = bg2
     details["headline_steps_per_s"] = steps_per_s
     checked = list(results.values()) + list(fused.values())
+    if bg2 is not None:
+        checked += [bg2["scan"], bg2["fused_collect"]]
     details["linearity_ok"] = all(r.get("linearity_ok") for r in checked)
 
     if os.environ.get("GST_PALLAS"):

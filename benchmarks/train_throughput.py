@@ -112,15 +112,19 @@ def main():
     scan_ms = phases["full"]["per_iter_ms"]
     scan_sps = scan_steps / (scan_ms * 1e-3)
 
-    # ---- fused Pallas collection path (whole T-step episodes) -----------
-    f_init, f_step = make_ppo_fused(cc, B, cfg, episodes=1, noise="prng")
+    # ---- bf16 learner trunk on the scan path (VERDICT r3 item 3: the
+    # update phase has no env-parity obligation; quality covered by
+    # tests/test_vector_learn.py::test_ppo_improves_bf16_learner) ---------
+    import jax.numpy as jnp
+    cfg16 = cfg._replace(learner_dtype=jnp.bfloat16)
+    init16, step16 = make_ppo(cc, B, cfg16)
 
-    def make_fused_run(iters):
+    def full16_run(iters):
         def fn(seed):
-            state = f_init(jax.random.PRNGKey(seed))
+            state = init16(jax.random.PRNGKey(seed))
 
             def body(state, _):
-                state, metrics = f_step(state)
+                state, metrics = step16(state)
                 return state, metrics["loss"]
 
             state, losses = jax.lax.scan(body, state, None, length=iters)
@@ -128,9 +132,43 @@ def main():
 
         return jax.jit(fn)
 
-    fused_s, fused_med = _slope_per_iter(make_fused_run)
-    fused_steps = B * T
-    fused_sps = fused_steps / fused_s
+    scan16_s, scan16_med = _slope_per_iter(full16_run)
+    scan16_sps = scan_steps / scan16_s
+
+    # ---- fused Pallas collection path (whole T-step episodes) -----------
+    def fused_result(fcfg):
+        f_init, f_step = make_ppo_fused(cc, B, fcfg, episodes=1,
+                                        noise="prng")
+
+        def make_fused_run(iters):
+            def fn(seed):
+                state = f_init(jax.random.PRNGKey(seed))
+
+                def body(state, _):
+                    state, metrics = f_step(state)
+                    return state, metrics["loss"]
+
+                state, losses = jax.lax.scan(body, state, None,
+                                             length=iters)
+                return losses.sum()
+
+            return jax.jit(fn)
+
+        fused_s, fused_med = _slope_per_iter(make_fused_run)
+        fused_steps = B * T
+        return {
+            "env_steps_per_iter": fused_steps,
+            "per_train_iter_ms": round(fused_s * 1e3, 3),
+            "median_ms": {str(k): round(v * 1e3, 2)
+                          for k, v in fused_med.items()},
+            "train_env_steps_per_s": round(fused_steps / fused_s, 1),
+        }
+
+    fused32 = fused_result(cfg)
+    fused16 = fused_result(cfg16)
+    fused_sps = fused16["train_env_steps_per_s"]
+    best = max(scan_sps, scan16_sps, fused32["train_env_steps_per_s"],
+               fused16["train_env_steps_per_s"])
 
     print(json.dumps({
         "platform": jax.devices()[0].platform,
@@ -146,15 +184,22 @@ def main():
             "per_train_iter_ms": scan_ms,
             "train_env_steps_per_s": round(scan_sps, 1),
         },
+        "scan_path_bf16_learner": {
+            "note": "learner_dtype=bf16 trunk in the update only; rollout "
+                    "forward unchanged",
+            "env_steps_per_iter": scan_steps,
+            "per_train_iter_ms": round(scan16_s * 1e3, 3),
+            "median_ms": {str(k): round(v * 1e3, 2)
+                          for k, v in scan16_med.items()},
+            "train_env_steps_per_s": round(scan16_sps, 1),
+        },
         "fused_path": {
             "collection": "Pallas collect kernel, whole 64-step episodes, "
                           "in-kernel PRNG, policy+value+logp on MXU",
-            "env_steps_per_iter": fused_steps,
-            "per_train_iter_ms": round(fused_s * 1e3, 3),
-            "median_ms": {str(k): round(v * 1e3, 2)
-                          for k, v in fused_med.items()},
-            "train_env_steps_per_s": round(fused_sps, 1),
+            **fused32,
         },
+        "fused_path_bf16_learner": fused16,
+        "best_train_env_steps_per_s": round(best, 1),
         "fused_vs_scan_speedup": round(fused_sps / scan_sps, 2),
     }, indent=1))
 

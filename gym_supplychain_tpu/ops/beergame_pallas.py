@@ -18,9 +18,11 @@ remaining While-iteration overhead — measured up to ~2x per whole episode at
 4096 envs (0.063 ms vs 0.123 ms), converging at larger batches where both
 hit the dispatch floor.  It is the maintained pattern for episode-granular
 fusion (actions precomputed, e.g. replay/evaluation sweeps); the scan path
-stays the default because it feeds per-step observations to a policy and
-handles per-lane stochastic delays.  v0 semantics, uniform scalar delay
-table here.
+stays the default because it feeds per-step observations to a policy.
+``beergame_episode_pallas`` is v0/scalar-delay; the collect kernel below
+also covers v2 (capacity penalty, offset obs, orders = action) and
+per-lane stochastic delay tables (beergame2_env.py:41-58, :87-92,
+:111-112, :168, :177-184).
 """
 from __future__ import annotations
 
@@ -144,10 +146,11 @@ def beergame_episode_pallas(demand, actions, initial_inventory,
 # ops/supplychain_pallas.py::make_supplychain_collect_pallas.
 # ---------------------------------------------------------------------------
 
-def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
+def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay,
                     ring: int, init_delay: int, init_ship: int,
                     init_orders: int, init_inv: int, inv_cost: int,
-                    backlog_cost: int, max_order: int):
+                    backlog_cost: int, max_order: int, v2: bool,
+                    max_stock: int, penalty: int, max_delay: int):
     """One grid step per env week over ``episodes * weeks`` steps.
 
     mode 'random': actions drawn from the on-chip PRNG (uniform ints in
@@ -155,17 +158,31 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
     the headline collection workload.  mode 'actions': a pre-tiled
     [S, L, B] action table — the parity variant replayed against the
     ``lax.scan`` kernel (core/beergame.py) bit-for-bit.
+
+    ``delay is None`` selects PER-LANE delay tables (an [S, 1, B] input,
+    row = this week's delay per lane, the v2 stochastic-delay semantics
+    beergame2_env.py:87-92): deliveries scatter into ring slots via
+    unrolled masked adds over the 0..max_delay outcomes, with delay==0
+    delivering straight into downstream inventory (:93-96, :111-114).
+    ``v2`` switches orders to the action verbatim (beergame2_env.py:168),
+    adds the exceeded-capacity penalty (:177-184) and offsets the
+    observation by ``max_stock`` (:111-112).
     """
     L = levels
+    per_lane_delay = delay is None
+    i = 0
+    demand_ref = refs[i]; i += 1
+    delays_ref = None
+    if per_lane_delay:
+        delays_ref = refs[i]; i += 1
     if mode == "random":
-        demand_ref, seed_ref, obs_ref, reward_ref = refs[:4]
+        seed_ref = refs[i]; i += 1
         act_ref = None
-        scratch = refs[4:]
     else:
-        demand_ref, act_ref, obs_ref, reward_ref = refs[:4]
+        act_ref = refs[i]; i += 1
         seed_ref = None
-        scratch = refs[4:]
-    inv_ref, back_ref, orders_ref, ring_ref = scratch
+    obs_ref, reward_ref = refs[i:i + 2]; i += 2
+    inv_ref, back_ref, orders_ref, ring_ref = refs[i:i + 4]
 
     ti = pl.program_id(0)
     te = ti % weeks                      # week index within this episode
@@ -175,6 +192,8 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
     def _init():
         # episode-initial state (beergame_env.py:39-52): fresh inventory,
         # zero backlog, initial orders, ring slots 1..init_delay seeded
+        # (the PREPENDED initial delay — constant 2 in the reference, also
+        # for the stochastic variants, beergame2_env.py:50)
         inv_ref[:] = jnp.full_like(inv_ref, init_inv)
         back_ref[:] = jnp.zeros_like(back_ref)
         orders_ref[:] = jnp.full_like(orders_ref, init_orders)
@@ -197,7 +216,17 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
     # 3. deliveries downstream + factory self-supply (beergame_env.py:93-96,
     # :111-114)
     downstream = jnp.concatenate([to_deliver[1:], placed[-1:]], axis=0)
-    if delay == 0:
+    if per_lane_delay:
+        dl = delays_ref[0, 0]                               # [B] int32
+        # delay == 0: straight into inventory (integer adds commute, so
+        # adding before the to_deliver subtraction matches the scan kernel
+        # bit-for-bit); 1..max_delay: masked add into the ring slot
+        inventory = inventory + jnp.where(dl[None] == 0, downstream, 0)
+        for d in range(1, max_delay + 1):
+            wslot = (week + d) % ring
+            ring_ref[wslot] = ring_ref[wslot] + jnp.where(
+                dl[None] == d, downstream, 0)
+    elif delay == 0:
         inventory = inventory + downstream
     else:
         wslot = (week + delay) % ring
@@ -209,7 +238,8 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
     inv_ref[:] = inventory
     back_ref[:] = backlog
 
-    # 5. place orders = incoming + action (v0, beergame_env.py:121)
+    # 5. place orders: incoming + action (v0, beergame_env.py:121) or the
+    # action verbatim (v2, beergame2_env.py:168)
     if mode == "random":
         # distinct per-step stream from (seed, step); power-of-two
         # max_order makes the bit mask exactly uniform
@@ -219,51 +249,85 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay: int,
         action = (bits & jnp.uint32(max_order - 1)).astype(jnp.int32)
     else:
         action = act_ref[0]
-    orders_ref[:] = incoming + action
+    orders_ref[:] = action if v2 else incoming + action
 
-    # 6. obs (inventory - backlog, beergame_env.py:180-181) + reward
-    obs_ref[0] = inventory - backlog
-    reward_ref[0, 0] = -jnp.sum(
-        inv_cost * inventory + backlog_cost * backlog, axis=0)
+    # 6. obs + reward (v0: inventory - backlog, beergame_env.py:180-181;
+    # v2: max_stock offset + capacity penalty, beergame2_env.py:111-112,
+    # :177-184)
+    reward = -jnp.sum(inv_cost * inventory + backlog_cost * backlog, axis=0)
+    if v2:
+        pen = (jnp.maximum(inventory - max_stock, 0)
+               + jnp.maximum(backlog - max_stock, 0))
+        reward = reward - jnp.sum(penalty * pen, axis=0)
+        obs_ref[0] = max_stock + inventory - backlog
+    else:
+        obs_ref[0] = inventory - backlog
+    reward_ref[0, 0] = reward
 
 
 def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
                                  episodes: int = 1, mode: str = "random",
-                                 delay: int = 2, init_delay: int = None,
+                                 delay=2, init_delay: int = None,
                                  init_ship: int = 4, init_orders: int = 4,
                                  init_inv: int = 12, inv_cost: int = 1,
                                  backlog_cost: int = 2, max_order: int = 16,
+                                 v2: bool = False, max_stock: int = 100,
+                                 exceeded_capacity_penalty: int = 100,
+                                 max_delay: int = None,
                                  interpret: bool = False):
-    """Trajectory-emitting fused beer-game rollout.
+    """Trajectory-emitting fused beer-game rollout (v0 and v2).
 
     Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
     auto-reset, writing each week's observation [L, B] and reward [B] to
-    HBM — the PPO-collection workload of ``bench.py``'s beergame config
+    HBM — the PPO-collection workload of ``bench.py``'s beergame configs
     with zero per-step dispatch.  Semantics match
-    ``make_beergame_kernels(itype=int32)`` / reference beergame_env.py
-    :66-138 (constant scalar shipment delay, as the benchmark uses).
+    ``make_beergame_kernels(itype=int32)`` bit-for-bit: reference
+    beergame_env.py:66-138, and for ``v2=True`` beergame2_env.py:111-112,
+    :168, :177-184.
 
-    Returns ``run(demand, seed) -> (obs [S, L, B], reward [S, B])`` for
-    mode='random' (``demand`` [weeks] or [weeks, B] int32), or
-    ``run(demand, actions [S, L, B]) -> (obs, reward)`` for mode='actions',
-    with S = episodes * weeks.  mode='random' requires power-of-two
-    ``max_order`` (exact bit-mask uniformity).
+    ``delay``: a constant scalar shipment delay, or ``None`` for PER-LANE
+    delay tables (the v2 stochastic-delay variant, beergame2_env.py:87-92;
+    pass ``max_delay`` to size the ring).  Signatures, S = episodes*weeks:
+
+    * constant delay — ``run(demand, seed)`` (random) /
+      ``run(demand, actions [S, L, B])`` (actions)
+    * per-lane delays — ``run(demand, delays, seed)`` /
+      ``run(demand, delays, actions)`` where ``delays`` is [S, B] (or
+      [S]) int32, row t = week (t % weeks)+1's delay of that episode
+
+    ``demand`` is [weeks]/[weeks, B] (tiled across episodes) or [S, B] for
+    per-episode stochastic tables.  Returns ``(obs [S, L, B],
+    reward [S, B])``.  mode='random' requires power-of-two ``max_order``
+    (exact bit-mask uniformity).
     """
     if mode == "random" and (max_order & (max_order - 1)) != 0:
         raise ValueError("mode='random' requires power-of-two max_order")
-    if init_delay is None:
-        init_delay = delay
-    ring = max(delay, init_delay) + 1
+    per_lane = delay is None
+    if per_lane:
+        if max_delay is None:
+            raise ValueError("per-lane delays need max_delay")
+        if init_delay is None:
+            init_delay = 2              # the reference's prepended initial
+        ring = max(max_delay, init_delay) + 1
+    else:
+        if init_delay is None:
+            init_delay = delay
+        max_delay = delay
+        ring = max(delay, init_delay) + 1
     S = episodes * weeks
     kernel = functools.partial(
-        _collect_kernel, mode=mode, weeks=weeks, levels=levels, delay=delay,
-        ring=ring, init_delay=init_delay, init_ship=init_ship,
-        init_orders=init_orders, init_inv=init_inv, inv_cost=inv_cost,
-        backlog_cost=backlog_cost, max_order=max_order)
-    # demand rows carry a singleton middle axis: TPU lowering requires a
-    # block's last two dims to divide (8, 128) or equal the array's, and a
+        _collect_kernel, mode=mode, weeks=weeks, levels=levels,
+        delay=None if per_lane else delay, ring=ring, init_delay=init_delay,
+        init_ship=init_ship, init_orders=init_orders, init_inv=init_inv,
+        inv_cost=inv_cost, backlog_cost=backlog_cost, max_order=max_order,
+        v2=v2, max_stock=max_stock, penalty=exceeded_capacity_penalty,
+        max_delay=max_delay)
+    # demand/delay rows carry a singleton middle axis: TPU lowering requires
+    # a block's last two dims to divide (8, 128) or equal the array's, and a
     # (1, B) block over [S, B] does neither
     in_specs = [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
+    if per_lane:
+        in_specs.append(pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)))
     if mode == "random":
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
@@ -285,17 +349,35 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
         interpret=interpret,
     )
 
-    @jax.jit
-    def run(demand, second):
-        demand = jnp.asarray(demand, jnp.int32)
-        if demand.ndim == 1:
-            demand = jnp.broadcast_to(demand[:, None], (weeks, B))
-        demand = jnp.tile(demand, (episodes, 1))[:, None]    # [S, 1, B]
-        if mode == "random":
-            second = jnp.asarray(second, jnp.int32).reshape((1,))
-        else:
-            second = jnp.asarray(second, jnp.int32)
-        obs, rew = call(demand, second)
-        return obs, rew.squeeze(1)
+    def _table(x, rows):
+        """[rows]/[rows, B]/[S(, B)] -> [S, 1, B] int32 step-row table."""
+        x = jnp.asarray(x, jnp.int32)
+        if x.ndim == 1:
+            x = jnp.broadcast_to(x[:, None], (x.shape[0], B))
+        if x.shape[0] == rows and rows != S:
+            x = jnp.tile(x, (episodes, 1))
+        return x[:, None]
+
+    if per_lane:
+        @jax.jit
+        def run(demand, delays, second):
+            demand = _table(demand, weeks)
+            delays = _table(delays, weeks)
+            if mode == "random":
+                second = jnp.asarray(second, jnp.int32).reshape((1,))
+            else:
+                second = jnp.asarray(second, jnp.int32)
+            obs, rew = call(demand, delays, second)
+            return obs, rew.squeeze(1)
+    else:
+        @jax.jit
+        def run(demand, second):
+            demand = _table(demand, weeks)
+            if mode == "random":
+                second = jnp.asarray(second, jnp.int32).reshape((1,))
+            else:
+                second = jnp.asarray(second, jnp.int32)
+            obs, rew = call(demand, second)
+            return obs, rew.squeeze(1)
 
     return run

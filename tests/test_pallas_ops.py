@@ -305,6 +305,79 @@ def test_beergame_collect_actions_matches_scan_two_episodes():
     np.testing.assert_array_equal(np.asarray(rew), np.stack(scan_rew))
 
 
+def test_beergame_collect_v2_stochastic_matches_scan():
+    """VERDICT r3 item 6: v2 collect kernel (orders = action verbatim,
+    capacity penalty, offset obs) with PER-LANE stochastic delay tables —
+    per-week obs + reward bit-equal to the lax.scan kernel across an
+    auto-reset boundary, including zero-delay weeks (immediate delivery)."""
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    W, L, B, E = 20, 4, 8, 2
+    MAXD, MS, PEN = 3, 25, 37
+    rs = np.random.RandomState(5)
+    # per-episode per-lane stochastic tables, incl. delay 0 outcomes
+    demand = rs.randint(0, 12, size=(E * W, B)).astype(np.int32)
+    delays = rs.randint(0, MAXD + 1, size=(E * W, B)).astype(np.int32)
+    actions = rs.randint(0, 16, size=(E * W, L, B)).astype(np.int32)
+
+    reset_fn, step_fn, obs_fn = make_beergame_kernels(
+        L, W, max(MAXD, 2), v2=True, max_stock=MS,
+        exceeded_capacity_penalty=PEN, itype=jnp.int32)
+    step = jax.jit(step_fn)
+    scan_obs, scan_rew = [], []
+    for e in range(E):
+        # scan-kernel convention: delays table has the prepended initial
+        # delay 2 at slot 0 (beergame2_env.py:50), weeks at slots 1..W
+        dtab = np.concatenate([np.full((1, B), 2, np.int32),
+                               delays[e * W:(e + 1) * W]])
+        st = reset_fn(demand[e * W:(e + 1) * W], dtab, [12] * L, 4, 4, B)
+        for w in range(W):
+            st, (o, r, _) = step(st, actions[e * W + w])
+            scan_obs.append(np.asarray(o))
+            scan_rew.append(np.asarray(r))
+
+    run = make_beergame_collect_pallas(
+        W, L, B, episodes=E, mode="actions", delay=None, max_delay=MAXD,
+        v2=True, max_stock=MS, exceeded_capacity_penalty=PEN,
+        interpret=True)
+    obs, rew = run(demand, delays, actions)
+    np.testing.assert_array_equal(np.asarray(obs), np.stack(scan_obs))
+    np.testing.assert_array_equal(np.asarray(rew), np.stack(scan_rew))
+
+
+def test_beergame_collect_v2_scalar_delay_matches_scan():
+    """v2 flags with a constant scalar delay: the penalty/obs/orders
+    changes alone, bit-equal to the scan kernel."""
+    from gym_supplychain_tpu.core.beergame import make_beergame_kernels
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    W, L, B = 15, 4, 8
+    MS, PEN = 30, 11
+    rs = np.random.RandomState(9)
+    demand = np.array([4] * 4 + [8] * (W - 4), np.int32)
+    actions = rs.randint(0, 16, size=(W, L, B)).astype(np.int32)
+    reset_fn, step_fn, _ = make_beergame_kernels(
+        L, W, 2, v2=True, max_stock=MS, exceeded_capacity_penalty=PEN,
+        itype=jnp.int32)
+    delays = np.full(W + 1, 2, np.int32)
+    st = reset_fn(demand, delays, [12] * L, 4, 4, B)
+    step = jax.jit(step_fn)
+    scan_obs, scan_rew = [], []
+    for w in range(W):
+        st, (o, r, _) = step(st, actions[w])
+        scan_obs.append(np.asarray(o))
+        scan_rew.append(np.asarray(r))
+    run = make_beergame_collect_pallas(
+        W, L, B, episodes=1, mode="actions", v2=True, max_stock=MS,
+        exceeded_capacity_penalty=PEN, interpret=True)
+    obs, rew = run(demand, actions)
+    np.testing.assert_array_equal(np.asarray(obs), np.stack(scan_obs))
+    np.testing.assert_array_equal(np.asarray(rew), np.stack(scan_rew))
+
+
 def test_beergame_collect_random_smoke():
     """'random' mode needs the TPU PRNG primitives (no CPU interpret
     lowering, like the supply-chain PRNG collect modes); compiled smoke +
