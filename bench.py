@@ -442,7 +442,11 @@ def bench_beergame_v2_stochastic(B, weeks=35):
 
         return jax.jit(rollout)
 
-    scan_r = _measure_slope(make_run, 40 * weeks)
+    # 80 episodes per base scan: at 40 the shortest dispatch still carries
+    # non-per-step overhead (measured linearity 1.23 at base 1400 vs 1.02
+    # at 2800 — the cond-reset body's table draws amortize slower here
+    # than in the v0 config)
+    scan_r = _measure_slope(make_run, 80 * weeks)
     scan_r["steps_per_s"] = round(B / (scan_r["per_step_us"] * 1e-6), 1)
 
     # ---- fused collect (per-episode tables drawn on device per call) ----

@@ -35,7 +35,7 @@ The table-driven modes reproduce this with per-use gathers hoisted before
 the env phases (``_per_use_lts``; the gathers exploit the bounded
 fired-supply counter — a STATIC base plus a counter in [0, n_sup[n]], so
 each is a small select, not a K-way one-hot).  The PRNG modes draw each
-use directly instead (``_draw_per_use_lts``): the reference consumes a
+use directly instead (``_lts_from_u`` on fused PRNG rows): the reference consumes a
 distinct iid column per use within a step, so per-use draws are
 distribution-identical and skip the gathers/counters entirely.
 
@@ -259,14 +259,6 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             lt_dst[n][d] = lt[off + j]
         return lt_sup, lt_dst
 
-    def _draw_per_use_lts():
-        """Direct per-use iid draws from the on-chip PRNG (the PRNG collect
-        modes): the reference consumes a DISTINCT iid table column per use
-        within a step, so drawing each use directly is
-        distribution-identical (same argument as the dense kernel,
-        ops/supplychain_pallas_dense.py 'Modes') while skipping the column
-        gathers and fired-supply counters entirely."""
-        return _lts_from_u(_uniform_01((nU, B)))
 
     # -- shared phase implementation (all kernels; op order is bit-pinned
     # against core/step.py by the parity tests) ----------------------------
@@ -275,7 +267,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
 
         ``a`` [A, B] already in [0, 1]; ``dem_row`` [R, P, B];
         ``lts = (lt_sup, lt_dst)`` PER-USE lead-time values ([B] i32 each,
-        from ``_per_use_lts`` table gathers or ``_draw_per_use_lts``) in
+        from ``_per_use_lts`` table gathers or ``_lts_from_u`` draws) in
         stochastic mode, else None; ``t`` traced step.
         ``tb``: when the caller statically knows ``t % RING`` (the
         RING-unrolled collect kernel), the static value — every ring access
@@ -568,16 +560,6 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                    if u2 is not None else None)
             cols.append(_demand_from_u(up, up2, cfg, te, T))
         return jnp.stack(cols, axis=1)                      # [R, P, B]
-
-    def _draw_step_inputs(te):
-        """Draw this step's demand row [R, P, B] and per-use lead-time
-        values from the (already seeded) on-chip PRNG.  Lead-times are
-        drawn PER USE (``_draw_per_use_lts``) rather than as a K-column
-        row — distribution-identical, no gathers."""
-        lts = _draw_per_use_lts() if stochastic else None
-        u = _uniform_01((R * P, B))
-        u2 = _uniform_01((R * P, B)) if any_normal_demand else None
-        return _dem_row_from_u(u, u2, te), lts
 
     # ------------------------------------------------------------------
     # kernel bodies
