@@ -84,7 +84,14 @@ def _bench(cc, B, base_steps):
 def _bench_dense(cc, B, T, lane_tile):
     """Dense Pallas collect kernel: compile time, per-step slope over
     episodes-per-dispatch, and compiled 'actions'-mode parity vs the scan
-    engine at a reduced shape."""
+    engine at a reduced shape.
+
+    The parity check runs BEFORE the timing loops, like bench.py's fused
+    sections: under the tunneled PJRT runtime a parity dispatch issued
+    after minutes of sustained timing traffic was observed to return
+    corrupted comparisons (identical spurious 1.64 obs error across three
+    different topologies), while the same program in a fresh process — or
+    ahead of the timing — reproduces the scan engine to ~7e-7."""
     import jax
     import jax.numpy as jnp
     from gym_supplychain_tpu.core.step import make_supplychain_kernels
@@ -95,24 +102,6 @@ def _bench_dense(cc, B, T, lane_tile):
         t0 = time.perf_counter()
         float(fn(s))
         return time.perf_counter() - t0
-
-    med = {}
-    compile_s = None
-    for eps in (1, 2):
-        run = make_supplychain_dense_collect_pallas(
-            cc, T, B, mode="random", episodes=eps, lane_tile=lane_tile)
-
-        @jax.jit
-        def fn(seed, run=run):
-            obs, rew = run(seed)
-            return obs.sum() + rew.sum()
-
-        c = timed(fn, 0)
-        if compile_s is None:
-            compile_s = c
-        med[eps] = float(np.median([timed(fn, r + 1)
-                                    for r in range(REPEATS)]))
-    per_step_us = (med[2] - med[1]) / T * 1e6
 
     # compiled parity: 'actions' mode vs the scan engine on-device
     Tp, Bp = 60, 256
@@ -147,6 +136,25 @@ def _bench_dense(cc, B, T, lane_tile):
 
     obs_err, rew_err, scale = (float(x) for x in jax.device_get(parity(0)))
     rel = rew_err / scale if scale else 0.0
+
+    med = {}
+    compile_s = None
+    for eps in (1, 2):
+        run = make_supplychain_dense_collect_pallas(
+            cc, T, B, mode="random", episodes=eps, lane_tile=lane_tile)
+
+        @jax.jit
+        def fn(seed, run=run):
+            obs, rew = run(seed)
+            return obs.sum() + rew.sum()
+
+        c = timed(fn, 0)
+        if compile_s is None:
+            compile_s = c
+        med[eps] = float(np.median([timed(fn, r + 1)
+                                    for r in range(REPEATS)]))
+    per_step_us = (med[2] - med[1]) / T * 1e6
+
     return {
         "lane_tile": lane_tile,
         "compile_s": round(compile_s, 1),

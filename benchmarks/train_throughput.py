@@ -166,9 +166,42 @@ def main():
 
     fused32 = fused_result(cfg)
     fused16 = fused_result(cfg16)
-    fused_sps = fused16["train_env_steps_per_s"]
+    # ---- fused UPDATE kernel (ops/ppo_update_pallas.py): forward + loss
+    # + backward in one Pallas pass, activations in VMEM tiles ------------
+    cfg_fu = cfg16._replace(fused_update=True)
+    fused_fu = fused_result(cfg_fu)
+
+    def scan_fu_result():
+        init_fu, step_fu = make_ppo(cc, B, cfg_fu)
+
+        def make_run(iters):
+            def fn(seed):
+                state = init_fu(jax.random.PRNGKey(seed))
+
+                def body(state, _):
+                    state, metrics = step_fu(state)
+                    return state, metrics["loss"]
+
+                state, losses = jax.lax.scan(body, state, None,
+                                             length=iters)
+                return losses.sum()
+
+            return jax.jit(fn)
+
+        s, med = _slope_per_iter(make_run)
+        return {
+            "env_steps_per_iter": scan_steps,
+            "per_train_iter_ms": round(s * 1e3, 3),
+            "median_ms": {str(k): round(v * 1e3, 2)
+                          for k, v in med.items()},
+            "train_env_steps_per_s": round(scan_steps / s, 1),
+        }
+
+    scan_fu = scan_fu_result()
+    fused_sps = fused_fu["train_env_steps_per_s"]
     best = max(scan_sps, scan16_sps, fused32["train_env_steps_per_s"],
-               fused16["train_env_steps_per_s"])
+               fused16["train_env_steps_per_s"], fused_sps,
+               scan_fu["train_env_steps_per_s"])
 
     print(json.dumps({
         "platform": jax.devices()[0].platform,
@@ -199,6 +232,13 @@ def main():
             **fused32,
         },
         "fused_path_bf16_learner": fused16,
+        "fused_path_fused_update": {
+            "note": "fused collection + ops/ppo_update_pallas.py gradient "
+                    "kernel (bf16 operands): forward+loss+backward in one "
+                    "Pallas pass, activations never round-trip HBM",
+            **fused_fu,
+        },
+        "scan_path_fused_update": scan_fu,
         "best_train_env_steps_per_s": round(best, 1),
         "fused_vs_scan_speedup": round(fused_sps / scan_sps, 2),
     }, indent=1))

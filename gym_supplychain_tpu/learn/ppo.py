@@ -70,6 +70,15 @@ class PPOConfig(NamedTuple):
     # gradient precision for ~2x update throughput; quality is covered by
     # tests/test_vector_learn.py::test_ppo_improves_bf16_learner
     learner_dtype: Any = None
+    # run the update's forward+loss+backward as ONE Pallas kernel
+    # (ops/ppo_update_pallas.py): activations stay in VMEM sample tiles
+    # instead of round-tripping [H, M] arrays through HBM between the
+    # passes — the update phase was the trainer's throughput wall.
+    # Continuous-action trainers only; gradient parity vs autodiff pinned
+    # by tests/test_ppo_update_pallas.py.  learner_dtype applies to the
+    # kernel's matmul operands.
+    fused_update: bool = False
+    fused_update_interpret: bool = False   # CPU interpret mode (tests)
 
 
 class TrainState(NamedTuple):
@@ -143,28 +152,44 @@ def _flatten_traj(traj: Trajectory, adv, ret):
     return (obs2, pre2, traj.logp.reshape(-1), advf, ret.reshape(-1))
 
 
-def _make_update(cfg: PPOConfig, tx, loss_fn):
+def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None):
     """Epoch x minibatch clipped-PPO update scan.
 
     ``update(params, opt_state, data) -> (params, opt_state, losses)`` where
     ``data`` is a tuple of sample-trailing arrays ([X, M] or [M]).  Each
     epoch takes ``cfg.minibatches`` contiguous chunks in order (one
     optimizer step per chunk); minibatches=1 reproduces the full-batch
-    update exactly."""
+    update exactly.  ``dims=(obs_dim, act_dim)`` enables the
+    ``cfg.fused_update`` Pallas gradient kernel (continuous loss only)."""
+    if cfg.fused_update and dims is None:
+        raise ValueError("fused_update supports the continuous-action "
+                         "trainers only")
+
     def update(params, opt_state, data):
         M = data[0].shape[-1]
         mb = int(cfg.minibatches)
         if M % mb != 0:
             raise ValueError(f"minibatches {mb} must divide batch {M}")
         sz = M // mb
+        if cfg.fused_update:
+            from ..ops.ppo_update_pallas import make_ppo_update_grads
+            gf = make_ppo_update_grads(
+                dims[0], dims[1], cfg.hidden, sz, clip=cfg.clip,
+                vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
+                pre_tanh_reg=cfg.pre_tanh_reg,
+                tile=min(4096, sz), compute_dtype=cfg.learner_dtype,
+                interpret=cfg.fused_update_interpret)
 
         def step(carry, i):
             params, opt_state = carry
             chunk = tuple(
                 jax.lax.dynamic_slice_in_dim(d, i * sz, sz, axis=d.ndim - 1)
                 for d in data)
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, *chunk)
+            if cfg.fused_update:
+                loss, grads = gf(params, *chunk)
+            else:
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, *chunk)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -222,7 +247,7 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
 
     _gae = _make_gae(cfg)
     _loss = _make_cont_loss(cfg)
-    _update = _make_update(cfg, tx, _loss)
+    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A))
 
     def train_step(state: TrainState):
         key, kr = jax.random.split(state.key)
@@ -329,7 +354,7 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
     done = (jnp.arange(S) % T) == T - 1
     _gae = _make_gae(cfg)
     _loss = _make_cont_loss(cfg)
-    _update = _make_update(cfg, tx, _loss)
+    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A))
 
     def init_fn(key) -> FusedTrainState:
         kp, kk = jax.random.split(key)

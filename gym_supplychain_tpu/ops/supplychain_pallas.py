@@ -529,17 +529,22 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         assert obs.shape == (O, B), (obs.shape, O, B)
         return obs
 
-    def _mlp(w_refs, x):
-        """tanh-MLP trunk + linear head: [w0,b0,...,wk,bk] -> head output."""
+    def _mlp(w_refs, x, precision=jax.lax.Precision.HIGHEST):
+        """tanh-MLP trunk + linear head: [w0,b0,...,wk,bk] -> head output.
+
+        The greedy policy-rollout kernel runs at HIGHEST (its on-device
+        parity row vs the scan evaluator is pinned at that setting,
+        benchmarks/pallas_parity.py); the PPO collect kernels pass DEFAULT
+        — the scan trainer they stand in for computes
+        ``actor_critic_forward`` with plain ``@`` (bf16 MXU multiplies on
+        TPU), so DEFAULT is both ~3x faster and the more faithful match."""
         n = len(w_refs)
         for li in range(0, n - 2, 2):
             x = jnp.tanh(
-                jax.lax.dot(w_refs[li][...], x,
-                            precision=jax.lax.Precision.HIGHEST,
+                jax.lax.dot(w_refs[li][...], x, precision=precision,
                             preferred_element_type=f32)
                 + w_refs[li + 1][...])
-        return (jax.lax.dot(w_refs[n - 2][...], x,
-                            precision=jax.lax.Precision.HIGHEST,
+        return (jax.lax.dot(w_refs[n - 2][...], x, precision=precision,
                             preferred_element_type=f32)
                 + w_refs[n - 1][...])
 
@@ -709,7 +714,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 actor_w = w_refs[:n_actor]
                 critic_w = w_refs[n_actor:n_w - 1]
                 log_std_ref = w_refs[n_w - 1]
-                mu = _mlp(actor_w, obs)                       # [A,B]
+                prec = jax.lax.Precision.DEFAULT
+                mu = _mlp(actor_w, obs, prec)                 # [A,B]
                 log_std = jnp.clip(log_std_ref[...],
                                    _LOG_STD_MIN, _LOG_STD_MAX)
                 std = jnp.exp(log_std)                        # [A,1]
@@ -724,7 +730,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                             + math.log(2 * math.pi))
                 corr = 2 * (math.log(2.0) - pre - _softplus(-2.0 * pre))
                 logp = (g - corr).sum(axis=0)
-                v = _mlp(critic_w, obs)                       # [1,B]
+                v = _mlp(critic_w, obs, prec)                 # [1,B]
                 actout_ref[j] = pre
                 logp_ref[j, 0] = logp
                 value_ref[j, 0] = v[0]
