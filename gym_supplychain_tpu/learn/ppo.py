@@ -152,7 +152,7 @@ def _flatten_traj(traj: Trajectory, adv, ret):
     return (obs2, pre2, traj.logp.reshape(-1), advf, ret.reshape(-1))
 
 
-def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None):
+def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
     """Epoch x minibatch clipped-PPO update scan.
 
     ``update(params, opt_state, data) -> (params, opt_state, losses)`` where
@@ -160,10 +160,48 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None):
     epoch takes ``cfg.minibatches`` contiguous chunks in order (one
     optimizer step per chunk); minibatches=1 reproduces the full-batch
     update exactly.  ``dims=(obs_dim, act_dim)`` enables the
-    ``cfg.fused_update`` Pallas gradient kernel (continuous loss only)."""
+    ``cfg.fused_update`` Pallas gradient kernel (continuous loss only);
+    with ``mesh`` the kernel runs one instance per 'data' shard with the
+    gradients pmean'd across shards — bit-identical to the unsharded
+    full-batch gradient up to reduction order (equal shard sizes)."""
     if cfg.fused_update and dims is None:
         raise ValueError("fused_update supports the continuous-action "
                          "trainers only")
+
+    def _build_fused_gf(sz):
+        from ..ops.ppo_update_pallas import make_ppo_update_grads
+        n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        if sz % n_data:
+            raise ValueError(f"minibatch {sz} not divisible by data "
+                             f"axis {n_data}")
+        szl = sz // n_data
+        gf_local = make_ppo_update_grads(
+            dims[0], dims[1], cfg.hidden, szl, clip=cfg.clip,
+            vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
+            pre_tanh_reg=cfg.pre_tanh_reg,
+            tile=min(4096, szl), compute_dtype=cfg.learner_dtype,
+            interpret=cfg.fused_update_interpret)
+        if mesh is None:
+            return gf_local
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as _P
+
+        def inner(params, obs, pre, olp, adv, ret):
+            # local mean-normalized loss/grads -> global mean via pmean
+            # (equal shard sizes)
+            loss, grads = gf_local(params, obs, pre, olp, adv, ret)
+            return (jax.lax.pmean(loss, "data"),
+                    jax.lax.pmean(grads, "data"))
+
+        def gf(params, *chunk):
+            pspec = jax.tree.map(lambda _: _P(), params)
+            return shard_map(
+                inner, mesh=mesh,
+                in_specs=(pspec, _P(None, "data"), _P(None, "data"),
+                          _P("data"), _P("data"), _P("data")),
+                out_specs=(_P(), pspec), check_vma=False)(params, *chunk)
+
+        return gf
 
     def update(params, opt_state, data):
         M = data[0].shape[-1]
@@ -172,13 +210,7 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None):
             raise ValueError(f"minibatches {mb} must divide batch {M}")
         sz = M // mb
         if cfg.fused_update:
-            from ..ops.ppo_update_pallas import make_ppo_update_grads
-            gf = make_ppo_update_grads(
-                dims[0], dims[1], cfg.hidden, sz, clip=cfg.clip,
-                vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
-                pre_tanh_reg=cfg.pre_tanh_reg,
-                tile=min(4096, sz), compute_dtype=cfg.learner_dtype,
-                interpret=cfg.fused_update_interpret)
+            gf = _build_fused_gf(sz)
 
         def step(carry, i):
             params, opt_state = carry
@@ -203,7 +235,7 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None):
 
 
 def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
-             dtype=jnp.float32, reward_scale: float = 1e-4):
+             dtype=jnp.float32, reward_scale: float = 1e-4, mesh=None):
     """Build (init_fn, train_step) for PPO on a compiled chain.
 
     ``init_fn(key) -> TrainState``; ``train_step(state) -> (state, metrics)``
@@ -247,7 +279,8 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
 
     _gae = _make_gae(cfg)
     _loss = _make_cont_loss(cfg)
-    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A))
+    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A),
+                           mesh=mesh)
 
     def train_step(state: TrainState):
         key, kr = jax.random.split(state.key)
@@ -354,7 +387,8 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
     done = (jnp.arange(S) % T) == T - 1
     _gae = _make_gae(cfg)
     _loss = _make_cont_loss(cfg)
-    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A))
+    _update = _make_update(cfg, tx, _loss, dims=(cc.obs_dim, cc.A),
+                           mesh=mesh)
 
     def init_fn(key) -> FusedTrainState:
         kp, kk = jax.random.split(key)

@@ -85,6 +85,31 @@ def test_fused_train_step_sharded_matches_unsharded():
     assert np.isfinite(float(m2["loss"]))
 
 
+def test_fused_update_sharded_matches_unsharded():
+    """fused_update under a mesh: the gradient kernel runs per 'data' shard
+    with pmean'd grads — the sharded train step must reproduce the
+    unsharded fused_update step (table noise, same seed)."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo_fused
+    from gym_supplychain_tpu.parallel.mesh import make_mesh
+
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=6).cc
+    cfg = PPOConfig(hidden=(16, 16), epochs=2, fused_update=True,
+                    fused_update_interpret=True)
+    B = 32
+    mesh = make_mesh(data=4, model=2)
+    init_u, step_u = make_ppo_fused(cc, B, cfg, noise="table",
+                                    interpret=True)
+    init_s, step_s = make_ppo_fused(cc, B, cfg, noise="table",
+                                    interpret=True, mesh=mesh)
+    m_u = jax.jit(step_u)(init_u(jax.random.PRNGKey(5)))[1]
+    st_s, m_s = jax.jit(step_s)(init_s(jax.random.PRNGKey(5)))
+    lu, ls = float(m_u["loss"]), float(m_s["loss"])
+    assert abs(ls - lu) <= 1e-4 * max(1.0, abs(lu)), (ls, lu)
+    _, m2 = jax.jit(step_s)(st_s)
+    assert np.isfinite(float(m2["loss"]))
+
+
 def test_fused_sharded_prng_mode_runs():
     """prng-mode sharding folds the data-axis index into the kernel seed;
     on CPU the in-kernel PRNG path can't run, but trace-level validity of
