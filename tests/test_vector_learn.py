@@ -290,6 +290,42 @@ def test_ntom_ppo_matches_tuned_base_stock():
         f"trained {trained:.0f} does not beat tuned base-stock {heur:.0f}")
 
 
+def test_seasonal_ppo_beats_base_stock():
+    """Learning where learning must matter (VERDICT r3 item 4): on the
+    seasonal 2perstage preset (4-peak sinusoidal demand, reference
+    supplychain_2perstage_env.py:67-97) a TIME-BLIND base-stock target
+    cannot track the 4x demand swing, so the margin bar is wide — ≥8%
+    over the grid-tuned heuristic (measured +18.5%/+32.7% at 700/1000
+    iterations; the full-horizon T=360 committed run beats it by 12.6%,
+    benchmarks/results/compare_baseline_seasonal.json)."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.learn.evaluate import make_evaluator
+    from gym_supplychain_tpu.learn.heuristics import best_base_stock
+    from gym_supplychain_tpu.learn.ppo import PPOConfig, make_ppo
+
+    cc = sct.make("sc-2perstage-seasonal-v0", total_time_steps=60).cc
+    _z, heur, scores = best_base_stock(
+        cc, 128, jax.random.PRNGKey(0), zs=[1.0, 1.5, 2.0, 2.5, 3.0],
+        episodes=2)
+    # the grid optimum must be interior (bracketed on both sides)
+    zs = sorted(scores)
+    assert _z not in (zs[0], zs[-1]), scores
+
+    init_fn, train_step = make_ppo(
+        cc, 256, PPOConfig(rollout_steps=32, hidden=(64, 64), lr=3e-3,
+                           epochs=4))
+    state = init_fn(jax.random.PRNGKey(0))
+    step = jax.jit(train_step)
+    for _ in range(800):
+        state, m = step(state)
+    evaluate = jax.jit(make_evaluator(cc, 256), static_argnames="episodes")
+    trained = float(evaluate(state.params, jax.random.PRNGKey(1), 1)
+                    ["mean_return"])
+    assert trained > heur + 0.08 * abs(heur), (
+        f"trained {trained:.0f} does not beat seasonal base-stock "
+        f"{heur:.0f} by 8%")
+
+
 def test_base_stock_heuristic_sanity():
     """The scripted baseline itself must be sane: distinct-retailer
     reachability (parallel paths must not multiply), and a clearly better
