@@ -84,14 +84,15 @@ def _bench(cc, B, base_steps):
 def _bench_dense(cc, B, T, lane_tile):
     """Dense Pallas collect kernel: compile time, per-step slope over
     episodes-per-dispatch, and compiled 'actions'-mode parity vs the scan
-    engine at a reduced shape.
+    engine at a reduced BATCH (full horizon).
 
-    The parity check runs BEFORE the timing loops, like bench.py's fused
-    sections: under the tunneled PJRT runtime a parity dispatch issued
-    after minutes of sustained timing traffic was observed to return
-    corrupted comparisons (identical spurious 1.64 obs error across three
-    different topologies), while the same program in a fresh process — or
-    ahead of the timing — reproduces the scan engine to ~7e-7."""
+    The parity episode length must equal ``cc.T``: the kernel's
+    remaining-time observation feature normalizes by its episode length,
+    while the scan engine normalizes by ``cc.T`` — a shortened parity
+    horizon (the r4 artifact's first cut used Tp=60 against the T=360
+    chain) makes ONLY that obs row disagree, which showed up as an
+    identical spurious 1.64 obs error across all three topologies.  The
+    check runs before the timing loops, like bench.py's fused sections."""
     import jax
     import jax.numpy as jnp
     from gym_supplychain_tpu.core.step import make_supplychain_kernels
@@ -103,8 +104,9 @@ def _bench_dense(cc, B, T, lane_tile):
         float(fn(s))
         return time.perf_counter() - t0
 
-    # compiled parity: 'actions' mode vs the scan engine on-device
-    Tp, Bp = 60, 256
+    # compiled parity: 'actions' mode vs the scan engine on-device,
+    # full horizon (see docstring), reduced batch
+    Tp, Bp = T, 256
     par = make_supplychain_dense_collect_pallas(
         cc, Tp, Bp, mode="actions", lane_tile=min(lane_tile, Bp))
     reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)

@@ -1020,6 +1020,10 @@ def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
 
     See ``_make_episode_runners.build_collect_runner`` for signatures.
     """
+    if T != cc.T:
+        # episodes are cc.T long by construction; a mismatched T skews the
+        # remaining-time obs feature while leaving rewards identical
+        raise ValueError(f"T={T} must equal the chain horizon cc.T={cc.T}")
     _, _, _, build_collect = _make_episode_runners(cc, T, B, interpret)
     return build_collect(mode, episodes,
                          tuple(hidden) if hidden is not None else None)

@@ -560,4 +560,10 @@ def make_supplychain_dense_collect_pallas(cc: CompiledChain, T: int, B: int,
     """
     if mode not in ("random", "actions"):
         raise ValueError(f"unknown dense collect mode {mode!r}")
+    if T != cc.T:
+        # episodes are cc.T long by construction; a mismatched T skews the
+        # remaining-time obs feature (normalized by the episode length)
+        # while leaving rewards identical — exactly the silent parity trap
+        # the r4 large-topology harness fell into
+        raise ValueError(f"T={T} must equal the chain horizon cc.T={cc.T}")
     return _make_dense(cc, T, B, lane_tile, interpret)(mode, episodes)
