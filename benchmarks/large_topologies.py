@@ -81,18 +81,22 @@ def _bench(cc, B, base_steps):
     }
 
 
-def _bench_dense(cc, B, T, lane_tile):
+def _bench_dense(cc, B, T, lane_tile, cc_parity):
     """Dense Pallas collect kernel: compile time, per-step slope over
     episodes-per-dispatch, and compiled 'actions'-mode parity vs the scan
-    engine at a reduced BATCH (full horizon).
+    engine at a reduced shape.
 
-    The parity episode length must equal ``cc.T``: the kernel's
-    remaining-time observation feature normalizes by its episode length,
-    while the scan engine normalizes by ``cc.T`` — a shortened parity
-    horizon (the r4 artifact's first cut used Tp=60 against the T=360
-    chain) makes ONLY that obs row disagree, which showed up as an
-    identical spurious 1.64 obs error across all three topologies.  The
-    check runs before the timing loops, like bench.py's fused sections."""
+    ``cc_parity`` is the SAME preset compiled at a SHORT horizon (Tp=60):
+    the parity must compare a Tp-episode kernel against a Tp-configured
+    scan engine, because the remaining-time observation feature normalizes
+    by the episode length — the r4 artifact's first cut ran the Tp=60
+    kernel against the T=360 chain and got an identical spurious 1.64
+    error on exactly that obs row in all three topologies (rewards agreed
+    to 2e-7).  Both collect-kernel builders now reject T != cc.T.  The
+    reduced shapes matter: the pre-gathered parity tables scale with
+    S*N*P*Dmax*B (~9.6 GB at the full horizon on the [5,4,7,10]x4 chain).
+    The check runs before the timing loops, like bench.py's fused
+    sections."""
     import jax
     import jax.numpy as jnp
     from gym_supplychain_tpu.core.step import make_supplychain_kernels
@@ -105,24 +109,26 @@ def _bench_dense(cc, B, T, lane_tile):
         return time.perf_counter() - t0
 
     # compiled parity: 'actions' mode vs the scan engine on-device,
-    # full horizon (see docstring), reduced batch
-    Tp, Bp = T, 256
+    # short-horizon chain (see docstring), reduced batch
+    ccp = cc_parity
+    Tp, Bp = ccp.T, 256
+    assert (ccp.N, ccp.P, ccp.A) == (cc.N, cc.P, cc.A)
     par = make_supplychain_dense_collect_pallas(
-        cc, Tp, Bp, mode="actions", lane_tile=min(lane_tile, Bp))
-    reset_fn, step_fn, obs_fn = make_supplychain_kernels(cc)
+        ccp, Tp, Bp, mode="actions", lane_tile=min(lane_tile, Bp))
+    reset_fn, step_fn, obs_fn = make_supplychain_kernels(ccp)
 
     @jax.jit
     def parity(seed):
         kd, kl, ka = jax.random.split(jax.random.PRNGKey(seed), 3)
         demands = jax.random.randint(
-            kd, (Tp + 1, cc.R, cc.P, Bp), 0, 25).astype(jnp.float32)
-        lt = (jax.random.randint(kl, (Tp, cc.K, Bp), 1, cc.Lmax + 1,
+            kd, (Tp + 1, ccp.R, ccp.P, Bp), 0, 25).astype(jnp.float32)
+        lt = (jax.random.randint(kl, (Tp, ccp.K, Bp), 1, ccp.Lmax + 1,
                                  jnp.int32)
-              if cc.stochastic_leadtimes else None)
-        actions = jax.random.uniform(ka, (Tp, cc.A, Bp), jnp.float32,
+              if ccp.stochastic_leadtimes else None)
+        actions = jax.random.uniform(ka, (Tp, ccp.A, Bp), jnp.float32,
                                      -1.0, 1.0)
         pal_obs, pal_rew = (par(demands[:Tp], lt, actions)
-                            if cc.stochastic_leadtimes
+                            if ccp.stochastic_leadtimes
                             else par(demands[:Tp], actions))
         st = reset_fn(demands, lt, Bp)
 
@@ -180,21 +186,23 @@ def main():
            "protocol": "post-fetch slope over 1x/2x scans (scan engine) / "
                        "1x/2x episodes (dense kernel), median of "
                        f"{REPEATS}"}
-    T = 360
+    T, Tp = 360, 60
     configs = {
-        "NPerStage [5,4,7,10] x4prod": SupplyChainNPerStage(
+        "NPerStage [5,4,7,10] x4prod": lambda t: SupplyChainNPerStage(
             nodes_per_echelon=[5, 4, 7, 10], num_products=4,
-            total_time_steps=T, stochastic_leadtimes=True).cc,
-        "NPerStage 10 x2prod": SupplyChainNPerStage(
-            nodes_per_echelon=10, num_products=2, total_time_steps=T,
+            total_time_steps=t, stochastic_leadtimes=True).cc,
+        "NPerStage 10 x2prod": lambda t: SupplyChainNPerStage(
+            nodes_per_echelon=10, num_products=2, total_time_steps=t,
             stochastic_leadtimes=True).cc,
-        "2perstage 10prod": SupplyChainMultiProduct(
-            num_products=10, total_time_steps=T,
+        "2perstage 10prod": lambda t: SupplyChainMultiProduct(
+            num_products=10, total_time_steps=t,
             stochastic_leadtimes=True).cc,
     }
-    for name, cc in configs.items():
+    for name, make_cc in configs.items():
+        cc = make_cc(T)
         out[name] = _bench(cc, B, T)
-        out[name]["dense_pallas"] = _bench_dense(cc, B, T, lane_tile)
+        out[name]["dense_pallas"] = _bench_dense(cc, B, T, lane_tile,
+                                                 make_cc(Tp))
         out[name]["dense_speedup"] = round(
             out[name]["per_step_us"]
             / out[name]["dense_pallas"]["per_step_us"], 2)
