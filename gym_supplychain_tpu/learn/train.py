@@ -37,6 +37,15 @@ def main(argv=None):
                         "envs; on >1 device one kernel instance runs per "
                         "'data'-axis shard via shard_map)")
     p.add_argument("--fused-episodes", type=int, default=1)
+    p.add_argument("--fused-update", action="store_true",
+                   help="run the update's forward+loss+backward as one "
+                        "Pallas kernel (ops/ppo_update_pallas.py; "
+                        "supply-chain trainers; composes with the mesh)")
+    p.add_argument("--learner-dtype", default=None, choices=[None, "bf16"],
+                   help="update-phase trunk compute dtype (bf16 halves "
+                        "stored-activation traffic; rollout unaffected)")
+    p.add_argument("--minibatches", type=int, default=1,
+                   help="contiguous minibatches per PPO epoch")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--restore", default=None)
@@ -56,14 +65,22 @@ def main(argv=None):
     from gym_supplychain_tpu.utils.profiling import (Throughput, log_metrics,
                                                      trace)
 
+    import jax.numpy as jnp
     cfg = PPOConfig(rollout_steps=args.rollout_steps, epochs=args.epochs,
-                    lr=args.lr, hidden=tuple(args.hidden))
+                    lr=args.lr, hidden=tuple(args.hidden),
+                    minibatches=args.minibatches,
+                    learner_dtype=(jnp.bfloat16
+                                   if args.learner_dtype == "bf16" else None),
+                    fused_update=args.fused_update)
     key = jax.random.PRNGKey(args.seed)
     n_dev = len(jax.devices())
     if args.fused and args.model_axis > 1:
         raise SystemExit("--fused shards the collection kernel over the "
                          "'data' axis with replicated params; --model-axis "
                          "applies to the scan-path trainer only")
+    if args.fused_update and args.env.startswith("beergame"):
+        raise SystemExit("--fused-update supports the continuous-action "
+                         "supply-chain trainers only")
     mesh = None
     if n_dev > 1:
         mesh = make_mesh(data=n_dev // args.model_axis,
@@ -81,7 +98,9 @@ def main(argv=None):
                                              mesh=mesh)
     else:
         cc = sct.make(args.env, total_time_steps=args.horizon).cc
-        init_fn, train_step = make_ppo(cc, args.envs, cfg)
+        init_fn, train_step = make_ppo(
+            cc, args.envs, cfg,
+            mesh=mesh if args.fused_update else None)
 
     if mesh is not None and args.fused:
         # FusedTrainState is fully replicated (params/opt/key); the
