@@ -25,14 +25,15 @@ BATCHES = tuple(int(x) for x in os.environ.get(
 
 def _sc_fused(cc, B, T=360):
     from gym_supplychain_tpu.ops.supplychain_pallas import (
-        make_supplychain_collect_pallas)
+        auto_batch_tile, make_supplychain_collect_pallas)
 
     # keep one call's HBM trajectory buffers ~constant across B
     eps = max(1, 8 * 4096 // B)
 
     def make_call_runner(eps):
         run = make_supplychain_collect_pallas(cc, T, B, mode="random",
-                                              episodes=eps)
+                                              episodes=eps,
+                                              batch_tile=auto_batch_tile(B))
 
         def call(seed):
             obs, rew = run(seed)
@@ -47,6 +48,7 @@ def _bg_fused(B, weeks=35):
     import jax.numpy as jnp
     from gym_supplychain_tpu.ops.beergame_pallas import (
         make_beergame_collect_pallas)
+    from gym_supplychain_tpu.ops.supplychain_pallas import auto_batch_tile
     import numpy as np
 
     demand = np.array([4] * 4 + [8] * (weeks - 4), np.int32)
@@ -54,7 +56,8 @@ def _bg_fused(B, weeks=35):
 
     def make_call_runner(eps):
         run = make_beergame_collect_pallas(weeks, 4, B, episodes=eps,
-                                           mode="random")
+                                           mode="random",
+                                           batch_tile=auto_batch_tile(B))
 
         def call(seed):
             obs, rew = run(demand, seed)
@@ -74,7 +77,8 @@ def main():
     assert jax.devices()[0].platform == "tpu", jax.devices()
     out = {"platform": "tpu", "batches": list(BATCHES),
            "protocol": "bench.py post-fetch slope; fused episodes-per-call "
-                       "scaled down with B to bound trajectory HBM"}
+                       "scaled down with B to bound trajectory HBM; fused "
+                       "kernels lane-tiled at auto_batch_tile(B) (<=8192)"}
     linear_cc = SupplyChainLinearEnv(total_time_steps=360).cc
     ntom_cc = SupplyChainNtoMEnv(total_time_steps=360).cc
 

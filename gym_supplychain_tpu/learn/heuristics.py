@@ -40,7 +40,8 @@ from ..envs.vector import make_vec_env
 
 __all__ = ["mean_demand", "default_base_stock_targets",
            "make_base_stock_policy", "evaluate_state_policy",
-           "best_base_stock"]
+           "best_base_stock", "make_beergame_base_stock_policy",
+           "beergame_base_stock_runner", "best_beergame_base_stock"]
 
 
 def mean_demand(cc: CompiledChain) -> np.ndarray:
@@ -192,3 +193,124 @@ def best_base_stock(cc: CompiledChain, batch_size: int, key,
         scores[z] = float(run(tgt, key))
     best_z = max(scores, key=scores.get)
     return best_z, scores[best_z], scores
+
+
+# ---------------------------------------------------------------------------
+# Beer game order-up-to baseline (VERDICT r4 missing-3)
+# ---------------------------------------------------------------------------
+
+def make_beergame_base_stock_policy(levels: int, max_order: int,
+                                    v2: bool = True):
+    """Scripted order-up-to policy over the true ``BeerGameState`` — the
+    classic beer-game baseline, observing a strictly stronger oracle than
+    the learned policy's ``inventory - backlog`` observation.
+
+    Per level, the inventory position counts everything the level owns or
+    is owed: ``IP = inventory - backlog + in-transit shipments + the order
+    slip still in the mail (orders_placed) + the upstream level's backlog
+    owed to it`` (each level is its upstream's only customer; the factory's
+    self-supply pipeline plays the upstream role,
+    reference beergame_env.py:111-114).  The order is
+    ``clip(target - IP, 0, max_order - 1)``; v0 (orders = incoming +
+    action, beergame_env.py:121) subtracts the pass-through incoming
+    (known from the oracle state) first, v2 orders verbatim
+    (beergame2_env.py:168).
+
+    Returns ``policy(state, targets) -> action [L, B]`` with ``targets``
+    scalar or [L] (traced, so a target grid shares one compile).
+    """
+    L = levels
+
+    def policy(state, targets):
+        inv = state.inventory                          # [L, B] itype
+        B = inv.shape[-1]
+        in_transit = state.shipments.sum(axis=0)       # [L, B]
+        owed = jnp.concatenate(
+            [state.backlog[1:], jnp.zeros((1, B), inv.dtype)], axis=0)
+        ip = (inv - state.backlog + in_transit + state.orders_placed + owed)
+        tgt = jnp.broadcast_to(
+            jnp.asarray(targets, inv.dtype).reshape(-1, 1), (L, B))
+        want = tgt - ip
+        if not v2:
+            # v0 passes incoming through automatically; the next step's
+            # incoming row is state-determined (demand table row
+            # state.week, then the downstream orders_placed chain)
+            demand_row = jax.lax.dynamic_index_in_dim(
+                state.customer_demand, state.week, 0, keepdims=False)
+            incoming = jnp.concatenate(
+                [demand_row[None, :], state.orders_placed[:-1]], axis=0)
+            want = want - incoming
+        return jnp.clip(want, 0, max_order - 1).astype(inv.dtype)
+
+    return policy
+
+
+def beergame_base_stock_runner(batch_size: int, levels: int = 4,
+                               weeks: int = 35, max_order: int = 16,
+                               customer_demand=None, shipment_delays=2,
+                               v2: bool = True, max_stock: int = 100,
+                               exceeded_capacity_penalty: int = 100,
+                               episodes: int = 4):
+    """One jitted ``run(targets, key) -> (mean, std) episodic return`` of
+    the order-up-to policy, with fresh stochastic demand/delay tables per
+    episode (the reference v2 ranges, beergame2_env.py:41-58) — shared by
+    every point of the target grid (targets are traced)."""
+    from ..core.beergame import make_beergame_kernels
+    from ..envs.vector import _is_range, make_beergame_table_draw
+
+    B, L = batch_size, levels
+    dem_range = customer_demand if _is_range(customer_demand) else None
+    delay_range = shipment_delays if _is_range(shipment_delays) else None
+    demand = delays = None
+    if dem_range is None:
+        demand = np.asarray(customer_demand if customer_demand is not None
+                            else [4] * 4 + [8] * (weeks - 4), np.int32)
+        weeks = len(demand)
+    if delay_range is None:
+        delays = np.full(weeks + 1, shipment_delays, np.int32)
+        delays[0] = 2
+        max_delay = int(delays.max())
+    else:
+        max_delay = max(2, int(delay_range[1]))
+    draw = make_beergame_table_draw(weeks, dem_range, delay_range,
+                                    demand, delays, jnp.int32)
+    reset_k, step_k, _ = make_beergame_kernels(
+        L, weeks, max_delay, v2=v2, max_stock=max_stock,
+        exceeded_capacity_penalty=exceeded_capacity_penalty,
+        itype=jnp.int32)
+    policy = make_beergame_base_stock_policy(L, max_order, v2=v2)
+    inv0 = np.full(L, 12, np.int32)
+
+    def run(targets, key):
+        def episode(acc, k):
+            dem, dly = draw(k, B)
+            st = reset_k(dem, dly, inv0, 4, 4, B)
+
+            def body(st, _):
+                st, (_, r, _) = step_k(st, policy(st, targets))
+                return st, r
+
+            _, rews = jax.lax.scan(body, st, None, length=weeks)
+            return acc, rews.astype(jnp.float32).sum(axis=0)   # [B]
+
+        _, per_env = jax.lax.scan(episode, 0.0,
+                                  jax.random.split(key, episodes))
+        return per_env.mean(), per_env.std()
+
+    return jax.jit(run)
+
+
+def best_beergame_base_stock(batch_size: int, key,
+                             targets: Sequence[int] = tuple(range(4, 41, 2)),
+                             **kwargs):
+    """Grid-search the order-up-to target (one shared S for all levels;
+    returns (best_S, (mean, std), {S: mean})).  One compile for the grid."""
+    run = beergame_base_stock_runner(batch_size, **kwargs)
+    scores = {}
+    stds = {}
+    for s in targets:
+        m, sd = run(jnp.int32(s), key)
+        scores[s] = float(m)
+        stds[s] = float(sd)
+    best_s = max(scores, key=scores.get)
+    return best_s, (scores[best_s], stds[best_s]), scores

@@ -140,16 +140,24 @@ def _make_cont_loss(cfg: PPOConfig):
 
 
 def _flatten_traj(traj: Trajectory, adv, ret):
-    """[S, X, B] trajectory -> sample-trailing [X, S*B] update data, with
+    """[S, X, B] trajectory -> sample-trailing [X, B*S] update data, with
     full-batch advantage normalization.  Hoisted OUT of the epoch scan (the
     pre-r4 trainer re-transposed the whole trajectory inside every epoch —
     at S*B = 256k samples those layout copies were a measurable slice of
-    the update phase)."""
-    obs2 = traj.obs.transpose(1, 0, 2).reshape(traj.obs.shape[1], -1)
-    pre2 = traj.act_pre.transpose(1, 0, 2).reshape(traj.act_pre.shape[1], -1)
-    advf = adv.reshape(-1)
+    the update phase).
+
+    The flat sample order is LANE-major (sample b*S + s is env lane b at
+    step s), so a contiguous minibatch chunk spans every timestep of a
+    block of i.i.d. env lanes instead of a narrow temporally-correlated
+    window of all lanes (ADVICE r4)."""
+    def lane_major(x):         # [S, ..., B] -> [..., B*S]
+        x2 = jnp.moveaxis(x, 0, -1)                 # [..., B, S]
+        return x2.reshape(x2.shape[:-2] + (-1,))
+
+    advf = lane_major(adv)
     advf = (advf - advf.mean()) / (advf.std() + 1e-8)
-    return (obs2, pre2, traj.logp.reshape(-1), advf, ret.reshape(-1))
+    return (lane_major(traj.obs), lane_major(traj.act_pre),
+            lane_major(traj.logp), advf, lane_major(ret))
 
 
 def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
@@ -175,11 +183,15 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
             raise ValueError(f"minibatch {sz} not divisible by data "
                              f"axis {n_data}")
         szl = sz // n_data
+        # largest divisor of the per-shard minibatch <= 4096: the kernel
+        # requires szl % tile == 0, and min(4096, szl) hard-failed for any
+        # szl that is not a multiple of 4096 (ADVICE r4)
+        tile = next(t for t in range(min(4096, szl), 0, -1) if szl % t == 0)
         gf_local = make_ppo_update_grads(
             dims[0], dims[1], cfg.hidden, szl, clip=cfg.clip,
             vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,
             pre_tanh_reg=cfg.pre_tanh_reg,
-            tile=min(4096, szl), compute_dtype=cfg.learner_dtype,
+            tile=tile, compute_dtype=cfg.learner_dtype,
             interpret=cfg.fused_update_interpret)
         if mesh is None:
             return gf_local
@@ -203,7 +215,7 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
 
         return gf
 
-    def update(params, opt_state, data):
+    def update(params, opt_state, data, key=None):
         M = data[0].shape[-1]
         mb = int(cfg.minibatches)
         if M % mb != 0:
@@ -226,7 +238,13 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        idx = jnp.tile(jnp.arange(mb), cfg.epochs)
+        if key is None or mb == 1:
+            idx = jnp.tile(jnp.arange(mb), cfg.epochs)
+        else:
+            # fresh chunk order per epoch (ADVICE r4: the fixed order
+            # repeated the same sequence of minibatches every epoch)
+            idx = jax.vmap(lambda k: jax.random.permutation(k, mb))(
+                jax.random.split(key, cfg.epochs)).reshape(-1)
         (params, opt_state), losses = jax.lax.scan(
             step, (params, opt_state), idx)
         return params, opt_state, losses
@@ -287,8 +305,9 @@ def make_ppo(cc: CompiledChain, batch_size: int, cfg: PPOConfig = PPOConfig(),
         env_state, traj, last_value = _rollout(state.params, state.env, kr)
         adv, ret = _gae(traj, last_value)
         data = _flatten_traj(traj, adv, ret)
-        params, opt_state, losses = _update(state.params, state.opt_state,
-                                            data)
+        params, opt_state, losses = _update(
+            state.params, state.opt_state, data,
+            key=jax.random.fold_in(key, 0x7fb5))
         metrics = {"loss": losses[-1],
                    "mean_reward": traj.reward.mean() / reward_scale,
                    "mean_value": traj.value.mean()}
@@ -452,8 +471,9 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
                           reward=rew * reward_scale, value=value, done=done)
         adv, ret = _gae(traj, jnp.zeros_like(value[-1]))
         data = _flatten_traj(traj, adv, ret)
-        params, opt_state, losses = _update(state.params, state.opt_state,
-                                            data)
+        params, opt_state, losses = _update(
+            state.params, state.opt_state, data,
+            key=jax.random.fold_in(key, 0x7fb5))
         metrics = {"loss": losses[-1],
                    "mean_reward": traj.reward.mean() / reward_scale,
                    "mean_value": traj.value.mean()}
@@ -570,8 +590,9 @@ def make_beergame_ppo(batch_size: int, cfg: PPOConfig = PPOConfig(),
         env_state, traj, last_value = _rollout(state.params, state.env, kr)
         adv, ret = _gae(traj, last_value)
         data = _flatten_traj(traj, adv, ret)
-        params, opt_state, losses = _update(state.params, state.opt_state,
-                                            data)
+        params, opt_state, losses = _update(
+            state.params, state.opt_state, data,
+            key=jax.random.fold_in(key, 0x7fb5))
         metrics = {"loss": losses[-1],
                    "mean_reward": traj.reward.mean() / reward_scale,
                    "mean_value": traj.value.mean()}

@@ -150,7 +150,8 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay,
                     ring: int, init_delay: int, init_ship: int,
                     init_orders: int, init_inv: int, inv_cost: int,
                     backlog_cost: int, max_order: int, v2: bool,
-                    max_stock: int, penalty: int, max_delay: int):
+                    max_stock: int, penalty: int, max_delay: int,
+                    n_tiles: int = 1):
     """One grid step per env week over ``episodes * weeks`` steps.
 
     mode 'random': actions drawn from the on-chip PRNG (uniform ints in
@@ -184,7 +185,7 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay,
     obs_ref, reward_ref = refs[i:i + 2]; i += 2
     inv_ref, back_ref, orders_ref, ring_ref = refs[i:i + 4]
 
-    ti = pl.program_id(0)
+    ti = pl.program_id(0) if n_tiles == 1 else pl.program_id(1)
     te = ti % weeks                      # week index within this episode
     week = te + 1
 
@@ -242,8 +243,12 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay,
     # action verbatim (v2, beergame2_env.py:168)
     if mode == "random":
         # distinct per-step stream from (seed, step); power-of-two
-        # max_order makes the bit mask exactly uniform
-        pltpu.prng_seed(seed_ref[0], ti)
+        # max_order makes the bit mask exactly uniform.  Lane tiles fold
+        # the tile index in (n_tiles == 1 matches the r4 stream exactly)
+        if n_tiles == 1:
+            pltpu.prng_seed(seed_ref[0], ti)
+        else:
+            pltpu.prng_seed(seed_ref[0], pl.program_id(0), ti)
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((L, ring_ref.shape[-1])), jnp.uint32)
         action = (bits & jnp.uint32(max_order - 1)).astype(jnp.int32)
@@ -274,7 +279,8 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
                                  v2: bool = False, max_stock: int = 100,
                                  exceeded_capacity_penalty: int = 100,
                                  max_delay: int = None,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 batch_tile=None):
     """Trajectory-emitting fused beer-game rollout (v0 and v2).
 
     Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
@@ -299,6 +305,12 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
     per-episode stochastic tables.  Returns ``(obs [S, L, B],
     reward [S, B])``.  mode='random' requires power-of-two ``max_order``
     (exact bit-mask uniformity).
+
+    ``batch_tile`` (divisor of ``B``) tiles the env batch over lanes —
+    grid ``(B // batch_tile, S)`` with the week dim innermost — so large
+    batches compile (whole-B blocks OOMed the Mosaic compile helper at
+    B=65,536; VERDICT r4 missing-1).  mode='random' folds the tile index
+    into the seed; ``None``/``== B`` keeps the r4 grid and streams.
     """
     if mode == "random" and (max_order & (max_order - 1)) != 0:
         raise ValueError("mode='random' requires power-of-two max_order")
@@ -315,31 +327,43 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
         max_delay = delay
         ring = max(delay, init_delay) + 1
     S = episodes * weeks
+    Bfull = B
+    if batch_tile is not None and int(batch_tile) != B:
+        if B % int(batch_tile):
+            raise ValueError(f"batch_tile {batch_tile} must divide B {B}")
+        B = int(batch_tile)
+    nB = Bfull // B
     kernel = functools.partial(
         _collect_kernel, mode=mode, weeks=weeks, levels=levels,
         delay=None if per_lane else delay, ring=ring, init_delay=init_delay,
         init_ship=init_ship, init_orders=init_orders, init_inv=init_inv,
         inv_cost=inv_cost, backlog_cost=backlog_cost, max_order=max_order,
         v2=v2, max_stock=max_stock, penalty=exceeded_capacity_penalty,
-        max_delay=max_delay)
+        max_delay=max_delay, n_tiles=nB)
+    if nB == 1:
+        def ixt(t):
+            return (t, 0, 0)
+    else:
+        def ixt(b, t):
+            return (t, 0, b)
     # demand/delay rows carry a singleton middle axis: TPU lowering requires
     # a block's last two dims to divide (8, 128) or equal the array's, and a
     # (1, B) block over [S, B] does neither
-    in_specs = [pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))]
+    in_specs = [pl.BlockSpec((1, 1, B), ixt)]
     if per_lane:
-        in_specs.append(pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, 1, B), ixt))
     if mode == "random":
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     else:
-        in_specs.append(pl.BlockSpec((1, levels, B), lambda t: (t, 0, 0)))
+        in_specs.append(pl.BlockSpec((1, levels, B), ixt))
     call = pl.pallas_call(
         kernel,
-        grid=(S,),
-        out_shape=[jax.ShapeDtypeStruct((S, levels, B), jnp.int32),
-                   jax.ShapeDtypeStruct((S, 1, B), jnp.int32)],
+        grid=(S,) if nB == 1 else (nB, S),
+        out_shape=[jax.ShapeDtypeStruct((S, levels, Bfull), jnp.int32),
+                   jax.ShapeDtypeStruct((S, 1, Bfull), jnp.int32)],
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, levels, B), lambda t: (t, 0, 0)),
-                   pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, levels, B), ixt),
+                   pl.BlockSpec((1, 1, B), ixt)],
         scratch_shapes=[
             pltpu.VMEM((levels, B), jnp.int32),        # inventory
             pltpu.VMEM((levels, B), jnp.int32),        # backlog
@@ -348,6 +372,7 @@ def make_beergame_collect_pallas(weeks: int, levels: int, B: int,
         ],
         interpret=interpret,
     )
+    B = Bfull                             # wrappers take full-width tables
 
     def _table(x, rows):
         """[rows]/[rows, B]/[S(, B)] -> [S, 1, B] int32 step-row table."""

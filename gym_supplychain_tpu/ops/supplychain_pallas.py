@@ -129,7 +129,8 @@ def _demand_from_u(u, u2, cfg, te, T):
 
 
 def _make_episode_runners(cc: CompiledChain, T: int, B: int,
-                          interpret: bool = False):
+                          interpret: bool = False, unroll_mult=None,
+                          batch_tile=None):
     """Build whole-episode rollout kernels for a compiled chain.
 
     Returns ``(run_seeded, run_actions, build_policy_runner,
@@ -140,7 +141,22 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     per-episode table: ``run_seeded(demands, leadtimes[T, K, B], seed)`` /
     ``run_actions(demands, leadtimes, actions)``.  All return per-step
     rewards ``[T, B]`` float32.
+
+    ``batch_tile``: lane-tile width for the COLLECT kernels (VERDICT r4
+    missing-1).  When set (and < B), the collect grid becomes
+    ``(B // batch_tile, S // U)`` with the step dimension innermost — VMEM
+    state/scratch and every per-step block shrink to the tile width, so
+    arbitrarily large env batches compile (whole-B blocks OOMed the Mosaic
+    compile helper at B=65,536).  Each tile re-runs its episodes with the
+    tile index folded into the PRNG seed (independent streams per tile);
+    ``None``/``== B`` keeps the r4 single-tile grid and streams bit-exactly.
     """
+    Bfull = B
+    if batch_tile is not None and int(batch_tile) != B:
+        if B % int(batch_tile):
+            raise ValueError(f"batch_tile {batch_tile} must divide B {B}")
+        B = int(batch_tile)
+    nB = Bfull // B
     N, P, Dmax, A, R, K = cc.N, cc.P, cc.Dmax, cc.A, cc.R, cc.K
     stochastic = bool(cc.stochastic_leadtimes)
     Lavg, Lmax = int(cc.Lavg), int(cc.Lmax)
@@ -656,15 +672,19 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         else:
             obs_ref, reward_ref, stock_ref, ring_ref = refs[i:i + 4]
 
-        ti = pl.program_id(0)
+        ti = pl.program_id(0) if nB == 1 else pl.program_id(1)
         if prng_inputs:
             # one seed per grid iteration, and ONE PRNG call for the whole
             # iteration's stochastic inputs — actions/exploration noise,
             # per-use lead-times, and demand uniforms for all `unroll`
             # steps (measured worth ~3% on ntom over per-step calls; the
             # draws are otherwise volume-bound).  Steps slice their rows
-            # in j order.
-            pltpu.prng_seed(seed_ref[0], ti)
+            # in j order.  Lane tiles fold the tile index in (independent
+            # streams per tile; nB == 1 matches the r4 stream exactly).
+            if nB == 1:
+                pltpu.prng_seed(seed_ref[0], ti)
+            else:
+                pltpu.prng_seed(seed_ref[0], pl.program_id(0), ti)
             act_rows = 2 * A if policy else A
             rps = (act_rows + (nU if stochastic else 0) + R * P
                    + (R * P if any_normal_demand else 0))
@@ -746,6 +766,9 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     # pallas_call builders
     # ------------------------------------------------------------------
     def _build(mode, n_w=0):
+        if nB != 1:
+            raise ValueError("batch_tile is only supported for the collect "
+                             "kernels (use make_supplychain_collect_pallas)")
         kernel = functools.partial(_kernel, mode=mode, n_w=n_w)
         # grid over episode steps; per-step rows of the HBM-resident tables
         # are pipelined into VMEM as (1, ...) blocks
@@ -780,11 +803,18 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         S = episodes * T
         # RING-step groups: all ring slots static inside the kernel (see
         # _collect_kernel).  Falls back to one step per grid iteration when
-        # the horizon doesn't align.  GST_COLLECT_UNROLL_MULT > 1 groups
-        # several RING cycles per grid iteration (bigger fusion windows,
-        # one PRNG call per group; costs compile time).
+        # the horizon doesn't align.  unroll_mult > 1 groups several RING
+        # cycles per grid iteration (bigger fusion windows, one PRNG call
+        # per group; costs compile time).  STREAM IMPACT (ADVICE r4): the
+        # kernel seeds the PRNG per grid iteration and one uniform block
+        # covers the whole unroll group, so a different multiplier is a
+        # different (equally valid) random stream — identical seeds
+        # reproduce identical trajectories only at the same multiplier.
+        # It is therefore an explicit builder parameter; the
+        # GST_COLLECT_UNROLL_MULT env var is only the default.
         import os as _os
-        mult = int(_os.environ.get("GST_COLLECT_UNROLL_MULT", "1"))
+        mult = (int(_os.environ.get("GST_COLLECT_UNROLL_MULT", "1"))
+                if unroll_mult is None else int(unroll_mult))
         U = 1
         if T % RING == 0:
             U = RING * mult if (mult > 1 and T % (RING * mult) == 0) \
@@ -793,28 +823,44 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                                    unroll=U)
         prng_inputs = mode in ("random", "policy")
         policy = mode in ("policy", "policy_eps")
+        # lane tiling (batch_tile): HBM arrays stay full-width (Bfull); the
+        # per-iteration blocks carry one B-wide lane tile, grid (nB, S//U)
+        # with the step dim innermost so each tile runs its episodes to
+        # completion before the next tile starts
+        if nB == 1:
+            def ixt4(t):
+                return (t, 0, 0, 0)
+
+            def ixt3(t):
+                return (t, 0, 0)
+        else:
+            def ixt4(b, t):
+                return (t, 0, 0, b)
+
+            def ixt3(b, t):
+                return (t, 0, b)
         in_specs = []
         if not prng_inputs:
-            in_specs.append(pl.BlockSpec((U, R, P, B), lambda t: (t, 0, 0, 0)))
+            in_specs.append(pl.BlockSpec((U, R, P, B), ixt4))
             if stochastic:
-                in_specs.append(pl.BlockSpec((U, K, B), lambda t: (t, 0, 0)))
-            in_specs.append(pl.BlockSpec((U, A, B), lambda t: (t, 0, 0)))
+                in_specs.append(pl.BlockSpec((U, K, B), ixt3))
+            in_specs.append(pl.BlockSpec((U, A, B), ixt3))
         else:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         if policy:
             in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(n_w))
-        out_shapes = [jax.ShapeDtypeStruct((S, O, B), f32)]
-        out_specs = [pl.BlockSpec((U, O, B), lambda t: (t, 0, 0))]
+        out_shapes = [jax.ShapeDtypeStruct((S, O, Bfull), f32)]
+        out_specs = [pl.BlockSpec((U, O, B), ixt3)]
         if policy:
-            out_shapes += [jax.ShapeDtypeStruct((S, A, B), f32),
-                           jax.ShapeDtypeStruct((S, 1, B), f32),
-                           jax.ShapeDtypeStruct((S, 1, B), f32)]
-            out_specs += [pl.BlockSpec((U, A, B), lambda t: (t, 0, 0)),
-                          pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0)),
-                          pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0))]
-        out_shapes.append(jax.ShapeDtypeStruct((S, 1, B), f32))
-        out_specs.append(pl.BlockSpec((U, 1, B), lambda t: (t, 0, 0)))
+            out_shapes += [jax.ShapeDtypeStruct((S, A, Bfull), f32),
+                           jax.ShapeDtypeStruct((S, 1, Bfull), f32),
+                           jax.ShapeDtypeStruct((S, 1, Bfull), f32)]
+            out_specs += [pl.BlockSpec((U, A, B), ixt3),
+                          pl.BlockSpec((U, 1, B), ixt3),
+                          pl.BlockSpec((U, 1, B), ixt3)]
+        out_shapes.append(jax.ShapeDtypeStruct((S, 1, Bfull), f32))
+        out_specs.append(pl.BlockSpec((U, 1, B), ixt3))
         # the policy modes' MLP temporaries ([hidden, B] activations for the
         # actor + critic trunks) overflow the default 16 MiB scoped-VMEM
         # stack at B=4096; v5e has 128 MiB of VMEM, so raise the limit
@@ -822,7 +868,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                   pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
         return pl.pallas_call(
             kernel,
-            grid=(S // U,),
+            grid=(S // U,) if nB == 1 else (nB, S // U),
             out_shape=out_shapes,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -945,6 +991,10 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             run = jax.jit(run)
         return run
 
+    if nB != 1:
+        # tiled builds serve only the collect kernels; the [T, B] episode
+        # runners keep their whole-B blocks (callers size them directly)
+        return None, None, None, build_collect_runner
     seeded_call = _build("seeded")
     actions_call = _build("actions")
 
@@ -1004,10 +1054,21 @@ def make_supplychain_policy_rollout_pallas(cc: CompiledChain, T: int, B: int,
     return build(tuple(hidden))
 
 
+def auto_batch_tile(B: int, cap: int = 8192):
+    """Largest divisor of ``B`` that is <= ``cap`` — the default lane-tile
+    choice for the collect kernels at large env batches (whole-B blocks
+    stop compiling around B=16-64k; 8192-wide tiles measured within noise
+    of whole-B blocks at 4096-8192 on v5e)."""
+    if B <= cap:
+        return B
+    return next(t for t in range(cap, 0, -1) if B % t == 0)
+
+
 def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
                                     mode: str = "random", episodes: int = 1,
                                     hidden=(128, 128),
-                                    interpret: bool = False):
+                                    interpret: bool = False,
+                                    unroll_mult=None, batch_tile=None):
     """Trajectory-emitting fused rollout (VERDICT r2 item 1).
 
     Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
@@ -1019,11 +1080,25 @@ def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
     ``'policy_eps'`` (table-driven single-episode parity variants).
 
     See ``_make_episode_runners.build_collect_runner`` for signatures.
+
+    ``unroll_mult`` groups several ring cycles per grid iteration (see
+    ``_build_collect``); it changes the in-kernel PRNG draw grouping, so
+    reproducibility of seeded trajectories requires the same value —
+    ``None`` defaults to the ``GST_COLLECT_UNROLL_MULT`` env var (itself
+    defaulting to 1).
+
+    ``batch_tile`` (divisor of ``B``) tiles the env batch over lanes so
+    large batches compile — VMEM state and per-step blocks shrink to the
+    tile while the HBM trajectory stays ``[S, ..., B]`` (see
+    ``_make_episode_runners``).  PRNG modes fold the tile index into the
+    seed, so tiled and untiled runs are distinct (equally valid) streams.
     """
     if T != cc.T:
         # episodes are cc.T long by construction; a mismatched T skews the
         # remaining-time obs feature while leaving rewards identical
         raise ValueError(f"T={T} must equal the chain horizon cc.T={cc.T}")
-    _, _, _, build_collect = _make_episode_runners(cc, T, B, interpret)
+    _, _, _, build_collect = _make_episode_runners(cc, T, B, interpret,
+                                                   unroll_mult=unroll_mult,
+                                                   batch_tile=batch_tile)
     return build_collect(mode, episodes,
                          tuple(hidden) if hidden is not None else None)

@@ -163,3 +163,36 @@ def test_collect_multi_episode_auto_reset():
                                    rtol=0, atol=1e-6)
         np.testing.assert_array_equal(obs[e * T:(e + 1) * T], obs[:T])
         np.testing.assert_array_equal(rew[e * T:(e + 1) * T], rew[:T])
+
+
+def test_collect_batch_tile_matches_untiled():
+    """Lane-tiled collect grid (batch_tile, VERDICT r4 missing-1): the
+    (B//Bt, S//U) grid with per-tile VMEM state must reproduce the
+    untiled kernel bit-for-bit in 'actions' mode (deterministic inputs) on
+    both a constant- and a stochastic-lead-time preset."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_collect_pallas)
+
+    for env_id, T in (("supplychain-linear-v0", 8),
+                      ("supplychain-ntom-v0", 6)):
+        cc = sct.make(env_id, total_time_steps=T).cc
+        B, E = 16, 2
+        S = E * T
+        run_full = make_supplychain_collect_pallas(
+            cc, T, B, mode="actions", episodes=E, interpret=True)
+        run_tile = make_supplychain_collect_pallas(
+            cc, T, B, mode="actions", episodes=E, interpret=True,
+            batch_tile=4)
+        rs = np.random.RandomState(11)
+        dem = rs.randint(0, 25, size=(S, cc.R, cc.P, B)).astype(np.float32)
+        act = (2 * rs.rand(S, cc.A, B) - 1).astype(np.float32)
+        args = [dem]
+        if cc.stochastic_leadtimes:
+            args.append(rs.randint(1, cc.Lmax + 1,
+                                   size=(S, cc.K, B)).astype(np.int32))
+        args.append(act)
+        o1, r1 = run_full(*args)
+        o2, r2 = run_tile(*args)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))

@@ -401,3 +401,37 @@ def test_beergame_collect_random_smoke():
     # so the obs distribution across episodes matches at week 0 given the
     # same action stream would -- with PRNG actions just check finiteness
     assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_beergame_collect_batch_tile_matches_untiled():
+    """Lane-tiled beergame collect grid (batch_tile, VERDICT r4
+    missing-1): bit-exact vs the untiled kernel in 'actions' mode, for
+    both the v0 constant-delay and the v2 per-lane stochastic-delay
+    variants."""
+    from gym_supplychain_tpu.ops.beergame_pallas import (
+        make_beergame_collect_pallas)
+
+    weeks, L, B, E = 10, 4, 16, 2
+    demand = np.array([4] * 4 + [8] * (weeks - 4), np.int32)
+    acts = jax.random.randint(jax.random.PRNGKey(0), (E * weeks, L, B),
+                              0, 16, jnp.int32)
+
+    kw = dict(episodes=E, mode="actions", interpret=True)
+    o1, w1 = make_beergame_collect_pallas(weeks, L, B, **kw)(demand, acts)
+    o2, w2 = make_beergame_collect_pallas(weeks, L, B, batch_tile=4,
+                                          **kw)(demand, acts)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+    kw2 = dict(episodes=E, mode="actions", delay=None, max_delay=3,
+               v2=True, max_stock=100, exceeded_capacity_penalty=100,
+               interpret=True)
+    k = jax.random.PRNGKey(1)
+    dem = jax.random.randint(k, (E * weeks, B), 0, 12, jnp.int32)
+    dly = jax.random.randint(jax.random.fold_in(k, 1), (E * weeks, B),
+                             0, 4, jnp.int32)
+    o3, w3 = make_beergame_collect_pallas(weeks, L, B, **kw2)(dem, dly, acts)
+    o4, w4 = make_beergame_collect_pallas(weeks, L, B, batch_tile=4,
+                                          **kw2)(dem, dly, acts)
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o4))
+    np.testing.assert_array_equal(np.asarray(w3), np.asarray(w4))
