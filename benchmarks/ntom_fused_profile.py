@@ -22,13 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
-def time_fused(cc, B, T, eps=8):
+def time_fused(cc, B, T, eps=8, ablate=frozenset()):
     from gym_supplychain_tpu.ops.supplychain_pallas import (
         make_supplychain_collect_pallas)
 
     def make_call_runner(eps):
         run = make_supplychain_collect_pallas(cc, T, B, mode="random",
-                                              episodes=eps)
+                                              episodes=eps, ablate=ablate)
 
         def call(seed):
             obs, rew = run(seed)
@@ -60,7 +60,25 @@ def main():
                      "linearity_check": r["linearity_check"],
                      "linearity_ok": r["linearity_ok"]}
         print(f"# {name}: {r['per_step_us']} us/step "
-              f"(lin {r['linearity_check']})", file=sys.stderr)
+              f"(lin {r['linearity_check']})", file=sys.stderr, flush=True)
+
+    # phase attribution on the headline config: re-time with each phase
+    # replaced by a measurement stub (supplychain_pallas.py ``ablate``);
+    # the delta vs the full kernel is that phase's marginal cost.  Stubs
+    # change the dynamics (dropped deliveries shrink downstream work), so
+    # deltas are indicative attribution, not an exact decomposition.
+    base = out["ntom-stochastic"]["per_step_us"]
+    cc = configs["ntom-stochastic"]
+    abl = {}
+    for flag in ("obs", "sortcut", "ship", "supply", "scatter", "prng"):
+        r = time_fused(cc, B, T, ablate={flag})
+        abl[flag] = {"per_step_us": r["per_step_us"],
+                     "marginal_us": round(base - r["per_step_us"], 4),
+                     "linearity_check": r["linearity_check"]}
+        print(f"# ablate {flag}: {r['per_step_us']} us/step "
+              f"(marginal {abl[flag]['marginal_us']})",
+              file=sys.stderr, flush=True)
+    out["ablation"] = abl
     print(json.dumps(out, indent=1))
 
 

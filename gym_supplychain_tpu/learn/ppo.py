@@ -140,38 +140,43 @@ def _make_cont_loss(cfg: PPOConfig):
 
 
 def _flatten_traj(traj: Trajectory, adv, ret):
-    """[S, X, B] trajectory -> sample-trailing [X, B*S] update data, with
-    full-batch advantage normalization.  Hoisted OUT of the epoch scan (the
-    pre-r4 trainer re-transposed the whole trajectory inside every epoch —
-    at S*B = 256k samples those layout copies were a measurable slice of
-    the update phase).
+    """[S, X, B] trajectory -> sample-LAST update data ``(obs [X, S, B],
+    pre [X, S, B], logp/adv/ret [S, B])`` with full-batch advantage
+    normalization.  The transposes are hoisted OUT of the epoch scan (the
+    pre-r4 trainer re-transposed the whole trajectory inside every epoch),
+    and since r5 the update phase consumes the 3D layout directly
+    (``_make_update``): the final flatten to the loss's [X, M] is a free
+    reshape of the (S, B)-minor axes, and minibatch chunks slice the env
+    axis — every chunk spans all timesteps of a block of i.i.d. env lanes
+    instead of a temporally-correlated window (ADVICE r4).  The fused
+    trainer skips this entirely: its collect kernel emits obs/act_pre
+    already sample-major (ops/supplychain_pallas.py ``sample_major``)."""
+    advn = (adv - adv.mean()) / (adv.std() + 1e-8)
+    return (traj.obs.transpose(1, 0, 2), traj.act_pre.transpose(1, 0, 2),
+            traj.logp, advn, ret)
 
-    The flat sample order is LANE-major (sample b*S + s is env lane b at
-    step s), so a contiguous minibatch chunk spans every timestep of a
-    block of i.i.d. env lanes instead of a narrow temporally-correlated
-    window of all lanes (ADVICE r4)."""
-    def lane_major(x):         # [S, ..., B] -> [..., B*S]
-        x2 = jnp.moveaxis(x, 0, -1)                 # [..., B, S]
-        return x2.reshape(x2.shape[:-2] + (-1,))
 
-    advf = lane_major(adv)
-    advf = (advf - advf.mean()) / (advf.std() + 1e-8)
-    return (lane_major(traj.obs), lane_major(traj.act_pre),
-            lane_major(traj.logp), advf, lane_major(ret))
+def _flat2(x):
+    """[..., S, B] -> [..., S*B]: free for (S, B)-minor-contiguous layouts
+    (the whole point of the sample-last update data contract)."""
+    return x.reshape(x.shape[:-2] + (-1,))
 
 
 def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
     """Epoch x minibatch clipped-PPO update scan.
 
-    ``update(params, opt_state, data) -> (params, opt_state, losses)`` where
-    ``data`` is a tuple of sample-trailing arrays ([X, M] or [M]).  Each
-    epoch takes ``cfg.minibatches`` contiguous chunks in order (one
-    optimizer step per chunk); minibatches=1 reproduces the full-batch
-    update exactly.  ``dims=(obs_dim, act_dim)`` enables the
-    ``cfg.fused_update`` Pallas gradient kernel (continuous loss only);
-    with ``mesh`` the kernel runs one instance per 'data' shard with the
-    gradients pmean'd across shards — bit-identical to the unsharded
-    full-batch gradient up to reduction order (equal shard sizes)."""
+    ``update(params, opt_state, data, key) -> (params, opt_state, losses)``
+    where ``data`` is a tuple of sample-LAST arrays ([X, S, B] or [S, B]):
+    the loss consumes [X, S*B] via a free reshape, so no trajectory-wide
+    layout copy sits between collection and the matmuls.  Minibatches
+    slice the env (B) axis — each chunk spans every timestep of a block of
+    i.i.d. env lanes — in a freshly permuted order per epoch (``key``);
+    minibatches=1 reproduces the full-batch update exactly.
+    ``dims=(obs_dim, act_dim)`` enables the ``cfg.fused_update`` Pallas
+    gradient kernel (continuous loss only); with ``mesh`` the kernel runs
+    one instance per 'data' shard (B-axis sharding, flattened inside the
+    shard) with the gradients pmean'd across shards — bit-identical to the
+    unsharded full-batch gradient up to reduction order (equal shards)."""
     if cfg.fused_update and dims is None:
         raise ValueError("fused_update supports the continuous-action "
                          "trainers only")
@@ -194,14 +199,16 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
             tile=tile, compute_dtype=cfg.learner_dtype,
             interpret=cfg.fused_update_interpret)
         if mesh is None:
-            return gf_local
+            return lambda params, *chunk: gf_local(
+                params, *(_flat2(d) for d in chunk))
         from jax import shard_map
         from jax.sharding import PartitionSpec as _P
 
         def inner(params, obs, pre, olp, adv, ret):
-            # local mean-normalized loss/grads -> global mean via pmean
-            # (equal shard sizes)
-            loss, grads = gf_local(params, obs, pre, olp, adv, ret)
+            # local shard flattened locally (free), local mean-normalized
+            # loss/grads -> global mean via pmean (equal shard sizes)
+            loss, grads = gf_local(params, _flat2(obs), _flat2(pre),
+                                   _flat2(olp), _flat2(adv), _flat2(ret))
             return (jax.lax.pmean(loss, "data"),
                     jax.lax.pmean(grads, "data"))
 
@@ -209,31 +216,38 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
             pspec = jax.tree.map(lambda _: _P(), params)
             return shard_map(
                 inner, mesh=mesh,
-                in_specs=(pspec, _P(None, "data"), _P(None, "data"),
-                          _P("data"), _P("data"), _P("data")),
+                in_specs=(pspec, _P(None, None, "data"),
+                          _P(None, None, "data"), _P(None, "data"),
+                          _P(None, "data"), _P(None, "data")),
                 out_specs=(_P(), pspec), check_vma=False)(params, *chunk)
 
         return gf
 
     def update(params, opt_state, data, key=None):
-        M = data[0].shape[-1]
+        Bb = data[0].shape[-1]
         mb = int(cfg.minibatches)
-        if M % mb != 0:
-            raise ValueError(f"minibatches {mb} must divide batch {M}")
-        sz = M // mb
+        if Bb % mb != 0:
+            raise ValueError(f"minibatches {mb} must divide env batch {Bb}")
+        bs = Bb // mb
+        sz = data[0].shape[-2] * bs
         if cfg.fused_update:
             gf = _build_fused_gf(sz)
 
         def step(carry, i):
             params, opt_state = carry
-            chunk = tuple(
-                jax.lax.dynamic_slice_in_dim(d, i * sz, sz, axis=d.ndim - 1)
-                for d in data)
+            if mb == 1:
+                chunk = data
+            else:
+                chunk = tuple(
+                    jax.lax.dynamic_slice_in_dim(d, i * bs, bs,
+                                                 axis=d.ndim - 1)
+                    for d in data)
             if cfg.fused_update:
                 loss, grads = gf(params, *chunk)
             else:
                 (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, *chunk)
+                    loss_fn, has_aux=True)(
+                        params, *(_flat2(d) for d in chunk))
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
@@ -384,9 +398,16 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
         raise ValueError(f"batch_size {B} not divisible by data axis "
                          f"{n_data}")
     Bk = B // n_data                     # per-kernel-instance lanes
+    # single-shard trainers take obs/act_pre straight from the kernel in
+    # the update phase's [X, S*B] layout (sample_major): the r4 trainer
+    # spent ~0.2 ms/iter re-transposing the trajectory between collection
+    # and update; under a mesh the global column order would interleave
+    # shards, so the mesh path keeps the [S, X, B] layout + transpose
+    sample_major = mesh is None
     run = make_supplychain_collect_pallas(cc, T, Bk, mode=mode, episodes=E,
                                           hidden=cfg.hidden,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          sample_major=sample_major)
     if mesh is not None:
         from jax import shard_map
         from jax.sharding import PartitionSpec as _P
@@ -470,9 +491,16 @@ def make_ppo_fused(cc: CompiledChain, batch_size: int,
         traj = Trajectory(obs=obs, act_pre=pre, logp=logp,
                           reward=rew * reward_scale, value=value, done=done)
         adv, ret = _gae(traj, jnp.zeros_like(value[-1]))
-        data = _flatten_traj(traj, adv, ret)
+        advn = (adv - adv.mean()) / (adv.std() + 1e-8)
+        if sample_major:
+            # free views of the kernel's [X, S*B] trajectory layout
+            obs3 = obs.reshape(cc.obs_dim, S, Bk)
+            pre3 = pre.reshape(cc.A, S, Bk)
+        else:
+            obs3 = obs.transpose(1, 0, 2)
+            pre3 = pre.transpose(1, 0, 2)
         params, opt_state, losses = _update(
-            state.params, state.opt_state, data,
+            state.params, state.opt_state, (obs3, pre3, logp, advn, ret),
             key=jax.random.fold_in(key, 0x7fb5))
         metrics = {"loss": losses[-1],
                    "mean_reward": traj.reward.mean() / reward_scale,

@@ -31,16 +31,21 @@ def main(argv=None):
     p.add_argument("--horizon", type=int, default=360)
     p.add_argument("--model-axis", type=int, default=1,
                    help="tensor-parallel degree over policy hidden dims")
-    p.add_argument("--fused", action="store_true",
+    p.add_argument("--fused", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="collect whole episodes through the Pallas fused "
                         "kernel (learn/ppo.py::make_ppo_fused; supply-chain "
                         "envs; on >1 device one kernel instance runs per "
-                        "'data'-axis shard via shard_map)")
+                        "'data'-axis shard via shard_map).  DEFAULT ON for "
+                        "supply-chain envs on TPU (the benchmarked fast "
+                        "path); --no-fused selects the scan trainer")
     p.add_argument("--fused-episodes", type=int, default=1)
-    p.add_argument("--fused-update", action="store_true",
+    p.add_argument("--fused-update", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="run the update's forward+loss+backward as one "
                         "Pallas kernel (ops/ppo_update_pallas.py; "
-                        "supply-chain trainers; composes with the mesh)")
+                        "supply-chain trainers; composes with the mesh).  "
+                        "DEFAULT ON wherever --fused resolves on")
     p.add_argument("--learner-dtype", default=None, choices=[None, "bf16"],
                    help="update-phase trunk compute dtype (bf16 halves "
                         "stored-activation traffic; rollout unaffected)")
@@ -66,6 +71,16 @@ def main(argv=None):
                                                      trace)
 
     import jax.numpy as jnp
+    # r4 measured the fused collection + fused update kernels 1.5-3.5x the
+    # scan/autodiff path (docs/PERFORMANCE.md "Trained throughput"), so
+    # they are the DEFAULT wherever supported: supply-chain envs on TPU
+    # without tensor parallelism.  --no-fused / --no-fused-update opt out.
+    on_tpu = jax.devices()[0].platform == "tpu"
+    supplychain = not args.env.startswith("beergame")
+    if args.fused is None:
+        args.fused = supplychain and on_tpu and args.model_axis == 1
+    if args.fused_update is None:
+        args.fused_update = args.fused and supplychain and on_tpu
     cfg = PPOConfig(rollout_steps=args.rollout_steps, epochs=args.epochs,
                     lr=args.lr, hidden=tuple(args.hidden),
                     minibatches=args.minibatches,
@@ -81,6 +96,10 @@ def main(argv=None):
     if args.fused_update and args.env.startswith("beergame"):
         raise SystemExit("--fused-update supports the continuous-action "
                          "supply-chain trainers only")
+    if args.fused or args.fused_update:
+        print(f"# engine: fused_collect={bool(args.fused)} "
+              f"fused_update={bool(args.fused_update)} (--no-fused / "
+              f"--no-fused-update for the scan/autodiff path)")
     mesh = None
     if n_dev > 1:
         mesh = make_mesh(data=n_dev // args.model_axis,

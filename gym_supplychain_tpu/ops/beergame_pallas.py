@@ -248,7 +248,10 @@ def _collect_kernel(*refs, mode: str, weeks: int, levels: int, delay,
         if n_tiles == 1:
             pltpu.prng_seed(seed_ref[0], ti)
         else:
-            pltpu.prng_seed(seed_ref[0], pl.program_id(0), ti)
+            # Mosaic accepts at most 2 seed values: fold (tile, step) into
+            # one unique per-grid-cell value
+            pltpu.prng_seed(seed_ref[0],
+                            pl.program_id(0) * pl.num_programs(1) + ti)
         bits = pltpu.bitcast(
             pltpu.prng_random_bits((L, ring_ref.shape[-1])), jnp.uint32)
         action = (bits & jnp.uint32(max_order - 1)).astype(jnp.int32)

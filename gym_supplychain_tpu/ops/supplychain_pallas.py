@@ -130,7 +130,7 @@ def _demand_from_u(u, u2, cfg, te, T):
 
 def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                           interpret: bool = False, unroll_mult=None,
-                          batch_tile=None):
+                          batch_tile=None, ablate=frozenset()):
     """Build whole-episode rollout kernels for a compiled chain.
 
     Returns ``(run_seeded, run_actions, build_policy_runner,
@@ -151,6 +151,15 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
     tile index folded into the PRNG seed (independent streams per tile);
     ``None``/``== B`` keeps the r4 single-tile grid and streams bit-exactly.
     """
+    # ``ablate``: MEASUREMENT-ONLY phase stubs for the cost attribution in
+    # benchmarks/ntom_fused_profile.py — each named phase is replaced by a
+    # trivial stand-in so its marginal cost can be timed.  Any non-empty
+    # set produces a kernel with WRONG dynamics; the deployed paths all
+    # pass the default empty set.
+    ablate = frozenset(ablate)
+    _known = {"obs", "sortcut", "ship", "supply", "scatter", "prng"}
+    if not ablate <= _known:
+        raise ValueError(f"unknown ablate flags {ablate - _known}")
     Bfull = B
     if batch_tile is not None and int(batch_tile) != B:
         if B % int(batch_tile):
@@ -328,7 +337,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         # lead-time values were computed by the caller (gathers or draws).
         for n in range(N):
             for p in range(P):
-                if not has_supply[n, p]:
+                if not has_supply[n, p] or "supply" in ablate:
                     continue
                 amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
                 reward = reward - amt * supply_cost[n, p]
@@ -348,7 +357,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
 
         # phase 4: ship (:262-375) ------------------------------------
         for n in range(N):
-            if not has_ship[n].any():
+            if not has_ship[n].any() or "ship" in ablate:
                 continue
             if stochastic:
                 lt_d = lt_dst[n]
@@ -376,7 +385,11 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 # D <= 2 take specialized select forms with the SAME
                 # per-lane FP op sequence at ~half the vector ops (the
                 # selects themselves never round).
-                if Dmax == 1:
+                if "sortcut" in ablate:
+                    # stand-in: per-destination linear cuts, no sort/rank
+                    amounts = [jnp.minimum(dvals[d] * avail_mat, avail_mat)
+                               for d in range(Dmax)]
+                elif Dmax == 1:
                     # pred = 0, rank = 0: cut = v*avail clamped once
                     # (v - 0.0 == v exactly; dvals >= 0 so no -0 case)
                     cut0 = dvals[0] * avail_mat
@@ -490,9 +503,10 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 reward = reward - stocks[n][p] * stock_cost[n, p]
                 stock_ref[n, p] = stocks[n][p]
         # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
-        for (L, n, p), amt in upd.items():
-            s = rslot(L)
-            ring_ref[s, n, p] = ring_ref[s, n, p] + amt
+        if "scatter" not in ablate:
+            for (L, n, p), amt in upd.items():
+                s = rslot(L)
+                ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
         return reward
 
@@ -520,6 +534,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         def rslot(off):
             return (tb + off) % RING if tb is not None else (t + off) % RING
 
+        if "obs" in ablate:                # measurement stub
+            return jnp.zeros((O, B), f32)
         rows = []
         for r in range(R):
             for p in range(P):
@@ -634,7 +650,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                              lts, demand_ref[0], t)
         reward_ref[0, 0] = reward
 
-    def _collect_kernel(*refs, mode: str, n_w: int = 0, unroll: int = 1):
+    def _collect_kernel(*refs, mode: str, n_w: int = 0, unroll: int = 1,
+                        sample_major: bool = False):
         """Trajectory-emitting rollout over ``episodes`` back-to-back
         episodes (auto-reset at each boundary).
 
@@ -684,11 +701,17 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             if nB == 1:
                 pltpu.prng_seed(seed_ref[0], ti)
             else:
-                pltpu.prng_seed(seed_ref[0], pl.program_id(0), ti)
+                # Mosaic accepts at most 2 seed values: fold (tile, step)
+                # into one unique per-grid-cell value
+                pltpu.prng_seed(seed_ref[0],
+                                pl.program_id(0) * pl.num_programs(1) + ti)
             act_rows = 2 * A if policy else A
             rps = (act_rows + (nU if stochastic else 0) + R * P
                    + (R * P if any_normal_demand else 0))
-            ubig = _uniform_01((unroll * rps, B))
+            if "prng" in ablate:           # measurement stub
+                ubig = jnp.full((unroll * rps, B), 0.5, f32)
+            else:
+                ubig = _uniform_01((unroll * rps, B))
 
         for j in range(unroll):
             te = (ti * unroll + j) % T   # step within the current episode
@@ -718,7 +741,13 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 dem_row = demand_ref[j]
 
             obs = _obs_build(stock_ref, ring_ref, dem_row, t, te, tb)
-            obs_ref[j] = obs
+            if sample_major:
+                # time-major flat trajectory: step j's samples occupy
+                # columns [j*B, (j+1)*B) of the (X, U*B) block — the
+                # update phase's [X, M] layout with zero host-side copies
+                obs_ref[:, j * B:(j + 1) * B] = obs
+            else:
+                obs_ref[j] = obs
 
             if mode == "random":
                 a_raw = 2.0 * u_act - 1.0
@@ -751,7 +780,10 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 corr = 2 * (math.log(2.0) - pre - _softplus(-2.0 * pre))
                 logp = (g - corr).sum(axis=0)
                 v = _mlp(critic_w, obs, prec)                 # [1,B]
-                actout_ref[j] = pre
+                if sample_major:
+                    actout_ref[:, j * B:(j + 1) * B] = pre
+                else:
+                    actout_ref[j] = pre
                 logp_ref[j, 0] = logp
                 value_ref[j, 0] = v[0]
 
@@ -799,8 +831,13 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         )
         return lambda *args: call(*args).squeeze(1)
 
-    def _build_collect(mode, episodes: int, n_w=0):
+    def _build_collect(mode, episodes: int, n_w=0, sample_major=False):
         S = episodes * T
+        if sample_major and (nB != 1 or mode not in ("policy",
+                                                     "policy_eps")):
+            raise ValueError("sample_major requires a policy mode and no "
+                             "batch tiling (the flat column layout "
+                             "interleaves under lane tiles)")
         # RING-step groups: all ring slots static inside the kernel (see
         # _collect_kernel).  Falls back to one step per grid iteration when
         # the horizon doesn't align.  unroll_mult > 1 groups several RING
@@ -820,7 +857,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             U = RING * mult if (mult > 1 and T % (RING * mult) == 0) \
                 else RING
         kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w,
-                                   unroll=U)
+                                   unroll=U, sample_major=sample_major)
         prng_inputs = mode in ("random", "policy")
         policy = mode in ("policy", "policy_eps")
         # lane tiling (batch_tile): HBM arrays stay full-width (Bfull); the
@@ -850,14 +887,24 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         if policy:
             in_specs.extend(pl.BlockSpec(memory_space=pltpu.VMEM)
                             for _ in range(n_w))
-        out_shapes = [jax.ShapeDtypeStruct((S, O, Bfull), f32)]
-        out_specs = [pl.BlockSpec((U, O, B), ixt3)]
+        if sample_major:
+            # obs/act_pre straight in the update phase's [X, M] layout
+            # (M = S*B time-major): block (X, U*B) at column-block t
+            out_shapes = [jax.ShapeDtypeStruct((O, S * B), f32)]
+            out_specs = [pl.BlockSpec((O, U * B), lambda t: (0, t))]
+        else:
+            out_shapes = [jax.ShapeDtypeStruct((S, O, Bfull), f32)]
+            out_specs = [pl.BlockSpec((U, O, B), ixt3)]
         if policy:
-            out_shapes += [jax.ShapeDtypeStruct((S, A, Bfull), f32),
-                           jax.ShapeDtypeStruct((S, 1, Bfull), f32),
+            if sample_major:
+                out_shapes += [jax.ShapeDtypeStruct((A, S * B), f32)]
+                out_specs += [pl.BlockSpec((A, U * B), lambda t: (0, t))]
+            else:
+                out_shapes += [jax.ShapeDtypeStruct((S, A, Bfull), f32)]
+                out_specs += [pl.BlockSpec((U, A, B), ixt3)]
+            out_shapes += [jax.ShapeDtypeStruct((S, 1, Bfull), f32),
                            jax.ShapeDtypeStruct((S, 1, Bfull), f32)]
-            out_specs += [pl.BlockSpec((U, A, B), ixt3),
-                          pl.BlockSpec((U, 1, B), ixt3),
+            out_specs += [pl.BlockSpec((U, 1, B), ixt3),
                           pl.BlockSpec((U, 1, B), ixt3)]
         out_shapes.append(jax.ShapeDtypeStruct((S, 1, Bfull), f32))
         out_specs.append(pl.BlockSpec((U, 1, B), ixt3))
@@ -925,7 +972,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 return policy_call(jnp.asarray(demands, f32), *_flat(params))
         return jax.jit(run_policy)
 
-    def build_collect_runner(mode, episodes, hidden=None):
+    def build_collect_runner(mode, episodes, hidden=None,
+                             sample_major=False):
         """Trajectory-collection runners (see ``_collect_kernel``).
 
         * 'random': ``run(seed) -> (obs [S,O,B], rewards [S,B])``
@@ -940,7 +988,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         """
         policy = mode in ("policy", "policy_eps")
         n_w = (4 * len(hidden) + 5) if policy else 0
-        call = _build_collect(mode, episodes, n_w=n_w)
+        call = _build_collect(mode, episodes, n_w=n_w,
+                              sample_major=sample_major)
 
         def _squeeze(outs):
             outs = list(outs)
@@ -1068,7 +1117,9 @@ def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
                                     mode: str = "random", episodes: int = 1,
                                     hidden=(128, 128),
                                     interpret: bool = False,
-                                    unroll_mult=None, batch_tile=None):
+                                    unroll_mult=None, batch_tile=None,
+                                    sample_major: bool = False,
+                                    ablate=frozenset()):
     """Trajectory-emitting fused rollout (VERDICT r2 item 1).
 
     Runs ``episodes`` back-to-back episodes in ONE kernel with in-kernel
@@ -1099,6 +1150,8 @@ def make_supplychain_collect_pallas(cc: CompiledChain, T: int, B: int,
         raise ValueError(f"T={T} must equal the chain horizon cc.T={cc.T}")
     _, _, _, build_collect = _make_episode_runners(cc, T, B, interpret,
                                                    unroll_mult=unroll_mult,
-                                                   batch_tile=batch_tile)
+                                                   batch_tile=batch_tile,
+                                                   ablate=ablate)
     return build_collect(mode, episodes,
-                         tuple(hidden) if hidden is not None else None)
+                         tuple(hidden) if hidden is not None else None,
+                         sample_major=sample_major)
