@@ -57,7 +57,12 @@ def main():
                                                make_ppo_fused)
 
     B = int(os.environ.get("GST_BENCH_ENVS", "4096"))
-    T = 64
+    # T=60 aligns the fused collection with the kernel's pipeline ring
+    # (RING=5 on ntom): T % RING == 0 enables the RING-unrolled collect
+    # grid with static VMEM ring addresses.  The r4 harness used T=64,
+    # which silently fell back to the one-step-per-iteration grid and
+    # nearly doubled the fused collection cost (16.1 vs ~9 us/step).
+    T = 60
     cfg = PPOConfig(rollout_steps=16, epochs=2, hidden=(128, 128))
     cc = sct.make("supplychain-ntom-v0", total_time_steps=T).cc
     init_fn, train_step = make_ppo(cc, B, cfg)

@@ -188,10 +188,12 @@ def _make_update(cfg: PPOConfig, tx, loss_fn, dims=None, mesh=None):
             raise ValueError(f"minibatch {sz} not divisible by data "
                              f"axis {n_data}")
         szl = sz // n_data
-        # largest divisor of the per-shard minibatch <= 4096: the kernel
-        # requires szl % tile == 0, and min(4096, szl) hard-failed for any
-        # szl that is not a multiple of 4096 (ADVICE r4)
-        tile = next(t for t in range(min(4096, szl), 0, -1) if szl % t == 0)
+        # largest divisor of the per-shard minibatch <= 8192: the kernel
+        # requires szl % tile == 0 (the old min(4096, szl) hard-failed for
+        # any szl not a multiple of 4096, ADVICE r4), and the r5 tile
+        # sweep measured 8192 fastest: 0.610 ms vs 0.737 (4096) / 0.842
+        # (2048 and 16384) per 262k-sample pass; 32768 overflows VMEM
+        tile = next(t for t in range(min(8192, szl), 0, -1) if szl % t == 0)
         gf_local = make_ppo_update_grads(
             dims[0], dims[1], cfg.hidden, szl, clip=cfg.clip,
             vf_coef=cfg.vf_coef, ent_coef=cfg.ent_coef,

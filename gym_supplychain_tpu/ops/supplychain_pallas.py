@@ -305,7 +305,15 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             return (tb + off) % RING if tb is not None else (t + off) % RING
 
         slot = rslot(0)
-        reward = jnp.zeros((B,), f32)
+        # running cost accumulator.  (A pairwise-tree reassociation of the
+        # ~60 cost terms was tried in r5 and measured 10% SLOWER — keeping
+        # every term live until a final tree sum costs more in VMEM
+        # pressure than the serial dependency chain, which Mosaic already
+        # interleaves with independent work.)
+        acc = [jnp.zeros((B,), f32)]
+
+        def spend(x):
+            acc[0] = acc[0] - x
 
         # phase 1+2: arrivals, stock-capacity penalty ----------------------
         stocks = []
@@ -315,7 +323,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 s = stock_ref[n, p] + ring_ref[slot, n, p]
                 if np.isfinite(stock_cap[n, p]):
                     excess = jnp.maximum(s - stock_cap[n, p], 0.0)
-                    reward = reward - c_stock_pen * excess
+                    spend(c_stock_pen * excess)
                     s = jnp.minimum(s, stock_cap[n, p])
                 cols.append(s)
             stocks.append(cols)
@@ -340,20 +348,19 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 if not has_supply[n, p] or "supply" in ablate:
                     continue
                 amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
-                reward = reward - amt * supply_cost[n, p]
-                # fired mask folded into the amount once (x + 0 == x, so
-                # masked-out adds are value-identical to the fired & ...
-                # conjunction they replace)
-                amt_f = jnp.where(amt > 0, amt, 0.0)
+                spend(amt * supply_cost[n, p])
+                # amt = action * capacity is >= 0 (action in [0, 1]), so
+                # the reference's fired gate folds away entirely:
+                # where(amt > 0, amt, 0) == amt
                 if stochastic:
                     lt = lt_sup[n][p]
                     for L in range(1, Lmax + 1):
                         s = rslot(L)
                         ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                            lt == L, amt_f, 0.0)
+                            lt == L, amt, 0.0)
                 else:
                     s = rslot(Lavg)
-                    ring_ref[s, n, p] = ring_ref[s, n, p] + amt_f
+                    ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
         # phase 4: ship (:262-375) ------------------------------------
         for n in range(N):
@@ -361,6 +368,10 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 continue
             if stochastic:
                 lt_d = lt_dst[n]
+                # (lt == L) masks shared across the product loop (the
+                # transport lead-time is per destination, not per product)
+                lt_eq = {d: [lt_d[d] == L for L in range(1, Lmax + 1)]
+                         for d in range(Dmax) if edge_mask[n, d]}
             avail_proc = jnp.full((B,), proc_cap[n], f32)
             avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
                           for d in range(Dmax)]
@@ -445,8 +456,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                         ai = amounts[d]
                         gate = ai > 0
                         over = gate & (ai > avail_proc)
-                        reward = reward - c_proc_pen * jnp.where(
-                            over, ai - avail_proc, 0.0)
+                        spend(c_proc_pen * jnp.where(
+                            over, ai - avail_proc, 0.0))
                         ai2 = jnp.where(over, avail_proc, ai)
                         avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
                         clipped.append(ai2)
@@ -462,8 +473,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                         continue
                     a2 = to_ship[d]
                     gate2 = (a2 > 0) & (a2 > avail_ship[d])
-                    reward = reward - c_ship_pen * jnp.where(
-                        gate2, a2 - avail_ship[d], 0.0)
+                    spend(c_ship_pen * jnp.where(
+                        gate2, a2 - avail_ship[d], 0.0))
                     a2c = jnp.where(gate2, avail_ship[d], a2)
                     raw = jnp.where(
                         gate2,
@@ -472,22 +483,22 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     avail_ship[d] = avail_ship[d] - jnp.where(gate2, raw,
                                                               0.0)
                     leaving = leaving + raw
-                    reward = reward - a2c * ship_cost[n, p, d]
+                    spend(a2c * ship_cost[n, p, d])
                     dst = dst_of[(n, d)]
                     # deliver into the destination pipeline (push only
                     # if > 0, :343-348); a2c can be negative once the
                     # bug-compatible bookkeeping drives avail_ship below
                     # zero, so the > 0 mask folds into the amount once
-                    a2cp = jnp.where(a2c > 0, a2c, 0.0)
+                    a2cp = jnp.maximum(a2c, 0.0)
                     if stochastic:
                         for L in range(1, Lmax + 1):
                             push(L, dst, p,
-                                 jnp.where(lt_d[d] == L, a2cp, 0.0))
+                                 jnp.where(lt_eq[d][L - 1], a2cp, 0.0))
                     else:
                         push(Lavg, dst, p, a2cp)
                 stocks[n][p] = avail_mat - leaving
                 if is_factory[n]:
-                    reward = reward - leaving * proc_cost[n, p]
+                    spend(leaving * proc_cost[n, p])
 
         # phase 5: retailer demand (:378-387) -------------------------
         for ri, n in enumerate(retailer_idx):
@@ -495,12 +506,12 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 d = dem_row[ri, p]
                 ful = jnp.minimum(stocks[n][p], d)
                 stocks[n][p] = stocks[n][p] - ful
-                reward = reward - c_unmet * (d - ful)
+                spend(c_unmet * (d - ful))
 
         # phase 6: holding costs (:389-394) + state writeback ---------
         for n in range(N):
             for p in range(P):
-                reward = reward - stocks[n][p] * stock_cost[n, p]
+                spend(stocks[n][p] * stock_cost[n, p])
                 stock_ref[n, p] = stocks[n][p]
         # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
         if "scatter" not in ablate:
@@ -508,7 +519,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 s = rslot(L)
                 ring_ref[s, n, p] = ring_ref[s, n, p] + amt
 
-        return reward
+        return acc[0]
 
     def _episode_init(stock_ref, ring_ref):
         """Reference reset (:630-682): initial stock + seeded pipeline."""
@@ -708,8 +719,16 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             act_rows = 2 * A if policy else A
             rps = (act_rows + (nU if stochastic else 0) + R * P
                    + (R * P if any_normal_demand else 0))
-            if "prng" in ablate:           # measurement stub
-                ubig = jnp.full((unroll * rps, B), 0.5, f32)
+            if "prng" in ablate:           # measurement stub: cheap
+                # vector arithmetic instead of the PRNG draws.  Both axes
+                # must vary (a constant or lane-replicated value gets a
+                # replicated Mosaic layout and the row slices below trip
+                # an internal layout check)
+                r_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (unroll * rps, B), 0)
+                c_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (unroll * rps, B), 1)
+                ubig = ((r_i * 37 + c_i) % 101).astype(f32) * (1.0 / 101.0)
             else:
                 ubig = _uniform_01((unroll * rps, B))
 
@@ -856,6 +875,13 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         if T % RING == 0:
             U = RING * mult if (mult > 1 and T % (RING * mult) == 0) \
                 else RING
+        else:
+            import warnings
+            warnings.warn(
+                f"collect horizon T={T} is not a multiple of the pipeline "
+                f"ring {RING}: the RING-unrolled grid is disabled and "
+                f"collection runs ~2x slower (dynamic ring addressing); "
+                f"prefer a horizon with T % {RING} == 0", stacklevel=4)
         kernel = functools.partial(_collect_kernel, mode=mode, n_w=n_w,
                                    unroll=U, sample_major=sample_major)
         prng_inputs = mode in ("random", "policy")
