@@ -3,7 +3,9 @@
 mismeasurement).
 
 Protocol: ``lax.scan`` over K iterations inside one jitted dispatch,
-post-fetch timing, per-iteration time = slope over K in (2, 4, 8).  The
+post-fetch timing, per-iteration time = bench.py's pilot-scaled
+least-squares slope over four iteration counts (>= 100 ms of marginal
+device work per slope interval, minima of repeated runs).  The
 phase bodies reuse ``train_step``'s own closures (train_step.rollout/.gae),
 so the breakdown measures the deployed code:
 
@@ -28,25 +30,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-REPEATS = 5
-ITER_COUNTS = (2, 4, 8)
-
+import bench
 
 def _slope_per_iter(make_run):
-    """Seconds per iteration: slope of post-fetch wall time over K."""
-    def timed(fn, seed):
-        t0 = time.perf_counter()
-        float(fn(seed))
-        return time.perf_counter() - t0
-
-    med = {}
-    for iters in ITER_COUNTS:
-        run = make_run(iters)
-        timed(run, 0)
-        med[iters] = float(np.median([timed(run, r + 1)
-                                      for r in range(REPEATS)]))
-    k1, k3 = ITER_COUNTS[0], ITER_COUNTS[-1]
-    return (med[k3] - med[k1]) / (k3 - k1), med
+    """Seconds per iteration via bench.py's r5 pilot-scaled protocol: a
+    pilot pass sizes the iteration sweep so every slope interval carries
+    >= 100 ms of marginal device work, then the least-squares slope is
+    fitted on per-length minima.  The old fixed (2,4,8)-iteration sweep
+    carried ~5-15 ms of marginal work against +-1-2 ms of per-dispatch
+    noise and swung +-30% between runs of the same binary."""
+    r = bench._measure_slope(make_run, 2)
+    med = {int(k): v * 1e-3 for k, v in r["min_ms"].items()}
+    return r["per_step_us"] * 1e-6, med
 
 
 def main():
@@ -214,8 +209,8 @@ def main():
                   f"rollout {cfg.rollout_steps} (unroll "
                   f"{cfg.rollout_unroll}), {cfg.epochs} epochs, "
                   "(128,128) MLP",
-        "protocol": "post-fetch slope over 2/4/8 iters per dispatch, "
-                    f"median of {REPEATS}",
+        "protocol": "bench.py pilot-scaled post-fetch slope (>=100 ms "
+                    "marginal work per interval, min-of-repeats LS fit)",
         "scan_path": {
             "phases": phases,
             "env_steps_per_iter": scan_steps,

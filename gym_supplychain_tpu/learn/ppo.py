@@ -111,7 +111,8 @@ def _make_gae(cfg: PPOConfig):
 
         (_, _), adv = jax.lax.scan(
             body, (jnp.zeros_like(last_value), last_value),
-            (traj.reward, traj.value, traj.done), reverse=True)
+            (traj.reward, traj.value, traj.done), reverse=True,
+            unroll=min(8, traj.reward.shape[0]))
         return adv, adv + traj.value
 
     return gae
