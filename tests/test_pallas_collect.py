@@ -196,3 +196,65 @@ def test_collect_batch_tile_matches_untiled():
         o2, r2 = run_tile(*args)
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
+def test_collect_sample_major_layout_matches_default():
+    """sample_major=True (the fused trainer's zero-copy layout) must emit
+    obs/act_pre as the [X, S*B] time-major flattening of the default
+    [S, X, B] outputs, with identical logp/value/reward rows."""
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.models.policy import (MLPConfig,
+                                                   init_actor_critic)
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_collect_pallas)
+
+    T, B, E = 6, 8, 2
+    S = E * T
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=T).cc
+    hidden = (16,)
+    params = init_actor_critic(
+        jax.random.PRNGKey(0),
+        MLPConfig(obs_dim=cc.obs_dim, act_dim=cc.A, hidden=hidden),
+        jnp.float32)
+    rs = np.random.RandomState(5)
+    dem = jax.vmap(lambda _: jnp.asarray(
+        rs.randint(0, 25, size=(T, cc.R, cc.P, B)), jnp.float32))(
+        jnp.arange(E)).reshape(S, cc.R, cc.P, B)
+    lt = jnp.asarray(rs.randint(1, cc.Lmax + 1, size=(S, cc.K, B)),
+                     jnp.int32)
+    eps = jnp.asarray(rs.randn(S, cc.A, B), jnp.float32)
+
+    kw = dict(mode="policy_eps", episodes=E, hidden=hidden, interpret=True)
+    run_d = make_supplychain_collect_pallas(cc, T, B, **kw)
+    run_s = make_supplychain_collect_pallas(cc, T, B, sample_major=True,
+                                            **kw)
+    od, ad, ld, vd, rd = run_d(dem, lt, eps, params)
+    os_, as_, ls, vs, rw = run_s(dem, lt, eps, params)
+    np.testing.assert_array_equal(
+        np.asarray(od).transpose(1, 0, 2).reshape(cc.obs_dim, S * B),
+        np.asarray(os_))
+    np.testing.assert_array_equal(
+        np.asarray(ad).transpose(1, 0, 2).reshape(cc.A, S * B),
+        np.asarray(as_))
+    np.testing.assert_array_equal(np.asarray(ld), np.asarray(ls))
+    np.testing.assert_array_equal(np.asarray(vd), np.asarray(vs))
+    np.testing.assert_array_equal(np.asarray(rd), np.asarray(rw))
+
+
+def test_collect_warns_on_ring_misaligned_horizon():
+    """T not divisible by the pipeline ring disables the RING-unrolled
+    grid at ~2x the collection cost; the builder must say so."""
+    import warnings
+
+    import gym_supplychain_tpu as sct
+    from gym_supplychain_tpu.ops.supplychain_pallas import (
+        make_supplychain_collect_pallas)
+
+    cc = sct.make("supplychain-ntom-v0", total_time_steps=7).cc
+    assert 7 % (cc.H + 1) != 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        make_supplychain_collect_pallas(cc, 7, 4, mode="random",
+                                        interpret=True)
+    assert any("RING-unrolled" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
