@@ -56,10 +56,11 @@ class PPOConfig(NamedTuple):
     # the beer game measured no benefit, so make_beergame_ppo callers may
     # pass 1.
     rollout_unroll: int = 4
-    # contiguous minibatches per epoch (one optimizer step per minibatch;
-    # 1 = the full-batch update).  Advantages are normalized over the FULL
-    # rollout batch either way, so minibatches=1 is bit-identical to the
-    # pre-minibatch trainer
+    # minibatches per epoch (one optimizer step per minibatch; 1 = the
+    # full-batch update).  Chunks slice the ENV axis, so each spans every
+    # timestep of a block of i.i.d. env lanes, in a freshly permuted order
+    # per epoch; advantages are normalized over the FULL rollout batch
+    # either way, so minibatches=1 reproduces the full-batch update
     minibatches: int = 1
     # trunk compute dtype for the UPDATE phase only (None = params dtype).
     # jnp.bfloat16 halves the stored-activation HBM traffic that bounds the
