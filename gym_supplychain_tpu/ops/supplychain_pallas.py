@@ -250,56 +250,85 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         columns start after the fired supplies, one per destination, shared
         across products.  Fired-ness depends only on the (already scaled)
         actions ``a`` — not on env state — so the gathers can run before
-        the phases.  Returns ``(lt_sup, lt_dst)`` keyed [n][p] / [n][d]."""
-        lt_sup = [[None] * P for _ in range(N)]
-        lt_dst = [[None] * Dmax for _ in range(N)]
+        the phases.  Returns ``(m_sup, m_dst)`` keyed [n][p] / [n][d]:
+        each entry a list of ``Lmax`` boolean masks (``lt == L`` for
+        L = 1..Lmax) — the env phases consume masks, never raw values."""
+        m_sup = [[None] * P for _ in range(N)]
+        m_dst = [[None] * Dmax for _ in range(N)]
+
+        def masks(lt):
+            return [lt == L for L in range(1, Lmax + 1)]
+
         for n in range(N):
             nf = jnp.zeros((B,), i32)
             for p in range(P):
                 if not has_supply[n, p]:
                     continue
                 amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
-                lt_sup[n][p] = _gather_lt_nf(lt_row, lt_base[n], nf,
-                                             n_sup[n])
+                m_sup[n][p] = masks(_gather_lt_nf(lt_row, lt_base[n], nf,
+                                                  n_sup[n]))
                 nf = nf + (amt > 0).astype(i32)
             if has_ship[n].any():
                 for d in range(Dmax):
                     if edge_mask[n, d]:
-                        lt_dst[n][d] = _gather_lt_nf(
-                            lt_row, int(lt_base[n] + d), nf, n_sup[n])
-        return lt_sup, lt_dst
+                        m_dst[n][d] = masks(_gather_lt_nf(
+                            lt_row, int(lt_base[n] + d), nf, n_sup[n]))
+        return m_sup, m_dst
 
     def _lts_from_u(u):
-        """Uniform rows [nU, B] -> per-use lead-time values (Poisson-clip
-        inverse CDF), keyed like ``_per_use_lts``'s output."""
-        lt = jnp.ones((nU, B), i32)
-        for j in range(lt_cdf.shape[0]):
-            lt = lt + (u >= lt_cdf[j]).astype(i32)
-        lt_sup = [[None] * P for _ in range(N)]
-        lt_dst = [[None] * Dmax for _ in range(N)]
+        """Uniform rows [nU, B] -> per-use lead-time MASKS, keyed like
+        ``_per_use_lts``'s output.
+
+        The masks come straight from the CDF thresholds as bands —
+        ``lt == L``  ⟺  ``cdf[L-2] <= u < cdf[L-1]`` — instead of first
+        materializing integer lead-times and re-comparing per use: with
+        ``ge[j] = u >= cdf[j]`` (and cdf non-decreasing, so ge[j] ⊆
+        ge[j-1]), band L is ``ge[L-2] ^ ge[L-1]``.  That is ~6 vector ops
+        on the stacked [nU, B] rows replacing the int construction plus
+        ``Lmax`` equality compares per use (~56 per ntom step) — identical
+        per-lane booleans, measurably cheaper."""
+        J = lt_cdf.shape[0]
+        if J == 0:                       # Lmax == 1: every lead-time is 1
+            ones = jnp.ones((nU, B), jnp.bool_)
+            bands = [ones]
+        else:
+            ge = [u >= lt_cdf[j] for j in range(J)]
+            bands = [jnp.logical_not(ge[0])]
+            for j in range(1, J):
+                bands.append(jnp.logical_xor(ge[j - 1], ge[j]))
+            bands.append(ge[J - 1])
+        m_sup = [[None] * P for _ in range(N)]
+        m_dst = [[None] * Dmax for _ in range(N)]
         for j, (n, p) in enumerate(sup_uses):
-            lt_sup[n][p] = lt[j]
+            m_sup[n][p] = [b[j] for b in bands]
         off = len(sup_uses)
         for j, (n, d) in enumerate(dst_uses):
-            lt_dst[n][d] = lt[off + j]
-        return lt_sup, lt_dst
+            m_dst[n][d] = [b[off + j] for b in bands]
+        return m_sup, m_dst
 
 
     # -- shared phase implementation (all kernels; op order is bit-pinned
     # against core/step.py by the parity tests) ----------------------------
-    def _env_phases(stock_ref, ring_ref, a, lts, dem_row, t, tb=None):
+    def _env_phases(stock_ref, ring_ref, a, lts, dem_row, t, tb=None,
+                    bounded_actions=False, exact_fp=True):
         """One env step: mutates stock/ring refs, returns reward [B].
 
         ``a`` [A, B] already in [0, 1]; ``dem_row`` [R, P, B];
-        ``lts = (lt_sup, lt_dst)`` PER-USE lead-time values ([B] i32 each,
-        from ``_per_use_lts`` table gathers or ``_lts_from_u`` draws) in
-        stochastic mode, else None; ``t`` traced step.
+        ``lts = (m_sup, m_dst)`` PER-USE lead-time masks (lists of Lmax
+        [B] bools per use, from ``_per_use_lts`` table gathers or
+        ``_lts_from_u`` draws) in stochastic mode, else None; ``t`` traced
+        step.  ``bounded_actions``: the caller statically guarantees every
+        action value lies in [0, 1] (PRNG uniforms, tanh outputs) — the
+        sorted cut's first clamp ``min(lo*avail, avail)`` then provably
+        never binds (0 <= lo <= 1 and avail >= 0 make the rounded product
+        <= avail) and is elided; table modes pass False so out-of-range
+        inputs still clamp exactly like the reference.
         ``tb``: when the caller statically knows ``t % RING`` (the
         RING-unrolled collect kernel), the static value — every ring access
         then lowers to a static VMEM address instead of a dynamic slice,
         which is the difference between ~9 and ~3 us/step on the
         stochastic-lead-time configs."""
-        lt_sup, lt_dst = lts if stochastic else (None, None)
+        m_sup, m_dst = lts if stochastic else (None, None)
 
         def rslot(off):
             return (tb + off) % RING if tb is not None else (t + off) % RING
@@ -310,10 +339,34 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         # every term live until a final tree sum costs more in VMEM
         # pressure than the serial dependency chain, which Mosaic already
         # interleaves with independent work.)
+        #
+        # Every cost is ``scalar coefficient x vector term``.  The exact
+        # path (``exact_fp``, parity modes) multiplies and subtracts each
+        # term inline in the reference's order.  The fast path (PRNG
+        # modes, no stream/bit parity obligation) groups terms by EQUAL
+        # coefficient, sums each group serially in spend order, and scales
+        # once — on ntom that folds ~24 same-coefficient penalty muls and
+        # their subs into one (~45 fewer vector ops per step).  Dynamics
+        # (stocks, pipelines, gates, observations' inputs) are untouched;
+        # only the reward's float association changes (~1e-7 relative).
         acc = [jnp.zeros((B,), f32)]
+        groups = {}
 
         def spend(x):
             acc[0] = acc[0] - x
+
+        def spend2(coeff, term):
+            if exact_fp:
+                acc[0] = acc[0] - coeff * term
+            else:
+                c = float(coeff)
+                if c != 0.0:
+                    # running per-coefficient sums: one live register per
+                    # distinct coefficient (a handful), short independent
+                    # add chains (deferring all terms to a final flush was
+                    # measured slower — 50 live terms cost more in VMEM
+                    # pressure than the muls they save)
+                    groups[c] = term if c not in groups else groups[c] + term
 
         # phase 1+2: arrivals, stock-capacity penalty ----------------------
         stocks = []
@@ -323,7 +376,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 s = stock_ref[n, p] + ring_ref[slot, n, p]
                 if np.isfinite(stock_cap[n, p]):
                     excess = jnp.maximum(s - stock_cap[n, p], 0.0)
-                    spend(c_stock_pen * excess)
+                    spend2(c_stock_pen, excess)
                     s = jnp.minimum(s, stock_cap[n, p])
                 cols.append(s)
             stocks.append(cols)
@@ -338,8 +391,11 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         upd = {}
 
         def push(L, n, p, amt):
+            # first push stores directly (``0 + amt`` is bitwise ``amt`` —
+            # amt is a non-negative where/max result, never -0 — but the
+            # splat-zero add is not always folded by Mosaic)
             key = (L, n, p)
-            upd[key] = upd.get(key, 0) + amt
+            upd[key] = amt if key not in upd else upd[key] + amt
 
         # phase 3: supply (:244-259).  Stochastic mode: the per-use
         # lead-time values were computed by the caller (gathers or draws).
@@ -348,16 +404,16 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 if not has_supply[n, p] or "supply" in ablate:
                     continue
                 amt = a[sup_act_idx[n, p]] * supply_cap[n, p]
-                spend(amt * supply_cost[n, p])
+                spend2(supply_cost[n, p], amt)
                 # amt = action * capacity is >= 0 (action in [0, 1]), so
                 # the reference's fired gate folds away entirely:
                 # where(amt > 0, amt, 0) == amt
                 if stochastic:
-                    lt = lt_sup[n][p]
+                    m = m_sup[n][p]
                     for L in range(1, Lmax + 1):
                         s = rslot(L)
                         ring_ref[s, n, p] = ring_ref[s, n, p] + jnp.where(
-                            lt == L, amt, 0.0)
+                            m[L - 1], amt, 0.0)
                 else:
                     s = rslot(Lavg)
                     ring_ref[s, n, p] = ring_ref[s, n, p] + amt
@@ -367,17 +423,22 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             if not has_ship[n].any() or "ship" in ablate:
                 continue
             if stochastic:
-                lt_d = lt_dst[n]
-                # (lt == L) masks shared across the product loop (the
+                # per-destination masks shared across the product loop (the
                 # transport lead-time is per destination, not per product)
-                lt_eq = {d: [lt_d[d] == L for L in range(1, Lmax + 1)]
+                lt_eq = {d: m_dst[n][d]
                          for d in range(Dmax) if edge_mask[n, d]}
             avail_proc = jnp.full((B,), proc_cap[n], f32)
-            avail_ship = [jnp.full((B,), ship_cap_edge[n, d], f32)
+            # P == 1: the shared ship capacity is never decremented (see
+            # below), so each edge's available capacity is the static
+            # constant — selects/compares below use the scalar directly
+            avail_ship = [float(ship_cap_edge[n, d]) if P == 1 else
+                          jnp.full((B,), ship_cap_edge[n, d], f32)
                           for d in range(Dmax)]
             for p in range(P):
-                dvals = [jnp.where(edge_mask[n, d],
-                                   a[ship_act_idx[n, p, d]], 0.0)
+                # edge_mask is static: dead destinations take a zeros
+                # vector at trace time instead of a folded select
+                dvals = [(a[ship_act_idx[n, p, d]] if edge_mask[n, d]
+                          else jnp.zeros((B,), f32))
                          if has_ship[n, p] else jnp.zeros((B,), f32)
                          for d in range(Dmax)]
                 avail_mat = stocks[n][p]
@@ -402,23 +463,29 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                                for d in range(Dmax)]
                 elif Dmax == 1:
                     # pred = 0, rank = 0: cut = v*avail clamped once
-                    # (v - 0.0 == v exactly; dvals >= 0 so no -0 case)
+                    # (v - 0.0 == v exactly; dvals >= 0 so no -0 case);
+                    # bounded actions make the clamp provably dead
                     cut0 = dvals[0] * avail_mat
-                    amounts = [jnp.minimum(cut0, avail_mat)]
+                    amounts = [cut0 if bounded_actions
+                               else jnp.minimum(cut0, avail_mat)]
                 elif Dmax == 2:
+                    # sort the two values (min/max tie-break matches the
+                    # reference's stable tuple sort: swap strictly when
+                    # v1 < v0), cut lo at (lo - 0)*avail and hi at
+                    # (hi - lo)*avail — the identical FP ops the
+                    # select-by-rank form computed, minus the redundant
+                    # predecessor selects
                     v0, v1 = dvals
                     swap = v1 < v0          # rank(d0) == 1 iff swap
-                    pred0 = jnp.where(swap, v1, 0.0)
-                    pred1 = jnp.where(swap, 0.0, v0)
-                    cut0 = (v0 - pred0) * avail_mat
-                    cut1 = (v1 - pred1) * avail_mat
-                    cutk0 = jnp.where(swap, cut1, cut0)
-                    cutk1 = jnp.where(swap, cut0, cut1)
-                    amt_k0 = jnp.minimum(cutk0, avail_mat)
-                    availr = avail_mat - amt_k0
-                    amt_k1 = jnp.minimum(cutk1, availr)
-                    amounts = [jnp.where(swap, amt_k1, amt_k0),
-                               jnp.where(swap, amt_k0, amt_k1)]
+                    lo = jnp.where(swap, v1, v0)
+                    hi = jnp.where(swap, v0, v1)
+                    cut_lo = lo * avail_mat
+                    amt_lo = (cut_lo if bounded_actions
+                              else jnp.minimum(cut_lo, avail_mat))
+                    amt_hi = jnp.minimum((hi - lo) * avail_mat,
+                                         avail_mat - amt_lo)
+                    amounts = [jnp.where(swap, amt_hi, amt_lo),
+                               jnp.where(swap, amt_lo, amt_hi)]
                 else:
                     cuts = [None] * Dmax
                     ranks = [None] * Dmax
@@ -454,12 +521,25 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     clipped = []
                     for d in range(Dmax):
                         ai = amounts[d]
-                        gate = ai > 0
-                        over = gate & (ai > avail_proc)
-                        spend(c_proc_pen * jnp.where(
-                            over, ai - avail_proc, 0.0))
-                        ai2 = jnp.where(over, avail_proc, ai)
-                        avail_proc = avail_proc - jnp.where(gate, ai2, 0.0)
+                        if bounded_actions:
+                            # amounts >= 0 and avail_proc >= 0 statically
+                            # (it only ever decrements to exactly 0), so
+                            # ai > avail_proc already implies ai > 0 and
+                            # the gated decrement equals ai2 exactly
+                            # (ai == 0 makes ai2 == 0 either way)
+                            over = ai > avail_proc
+                            spend2(c_proc_pen, jnp.where(
+                                over, ai - avail_proc, 0.0))
+                            ai2 = jnp.where(over, avail_proc, ai)
+                            avail_proc = avail_proc - ai2
+                        else:
+                            gate = ai > 0
+                            over = gate & (ai > avail_proc)
+                            spend2(c_proc_pen, jnp.where(
+                                over, ai - avail_proc, 0.0))
+                            ai2 = jnp.where(over, avail_proc, ai)
+                            avail_proc = avail_proc - jnp.where(gate, ai2,
+                                                                0.0)
                         clipped.append(ai2)
                     to_ship = [c / proc_ratio[n, p] for c in clipped]
                     amounts = clipped
@@ -472,24 +552,51 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     if not edge_mask[n, d]:
                         continue
                     a2 = to_ship[d]
-                    gate2 = (a2 > 0) & (a2 > avail_ship[d])
-                    spend(c_ship_pen * jnp.where(
-                        gate2, a2 - avail_ship[d], 0.0))
-                    a2c = jnp.where(gate2, avail_ship[d], a2)
-                    raw = jnp.where(
-                        gate2,
-                        a2c * (proc_ratio[n, p] if is_factory[n] else 1.0),
-                        amounts[d])
-                    avail_ship[d] = avail_ship[d] - jnp.where(gate2, raw,
-                                                              0.0)
+                    if P == 1 and not np.isfinite(ship_cap_edge[n, d]):
+                        # unbounded static capacity: the clip gate is
+                        # statically false (a2 > inf), the penalty term
+                        # exactly zero, and a2c == a2
+                        a2c = a2
+                        raw = amounts[d]
+                    elif P == 1:
+                        # static scalar capacity c >= 0 (never decremented
+                        # with one product): a2 > c already implies a2 > 0
+                        cap = avail_ship[d]
+                        gate2 = a2 > cap
+                        spend2(c_ship_pen, jnp.where(gate2, a2 - cap, 0.0))
+                        a2c = jnp.where(gate2, cap, a2)
+                        raw = jnp.where(
+                            gate2,
+                            a2c * (proc_ratio[n, p] if is_factory[n]
+                                   else 1.0),
+                            amounts[d])
+                    else:
+                        gate2 = (a2 > 0) & (a2 > avail_ship[d])
+                        spend2(c_ship_pen, jnp.where(
+                            gate2, a2 - avail_ship[d], 0.0))
+                        a2c = jnp.where(gate2, avail_ship[d], a2)
+                        raw = jnp.where(
+                            gate2,
+                            a2c * (proc_ratio[n, p] if is_factory[n]
+                                   else 1.0),
+                            amounts[d])
+                        # the bug-compatible shared-capacity decrement is
+                        # only ever read by LATER products' gates (SURVEY
+                        # §2.1-4); with one product it is dead
+                        avail_ship[d] = avail_ship[d] - jnp.where(
+                            gate2, raw, 0.0)
                     leaving = leaving + raw
-                    spend(a2c * ship_cost[n, p, d])
+                    spend2(ship_cost[n, p, d], a2c)
                     dst = dst_of[(n, d)]
                     # deliver into the destination pipeline (push only
                     # if > 0, :343-348); a2c can be negative once the
                     # bug-compatible bookkeeping drives avail_ship below
-                    # zero, so the > 0 mask folds into the amount once
-                    a2cp = jnp.maximum(a2c, 0.0)
+                    # zero (P > 1 only — with one product and bounded
+                    # actions the clip result is a select between
+                    # a2 >= 0 and a static cap >= 0, so the mask-fold max
+                    # is dropped exactly)
+                    a2cp = (a2c if P == 1 and bounded_actions
+                            else jnp.maximum(a2c, 0.0))
                     if stochastic:
                         for L in range(1, Lmax + 1):
                             push(L, dst, p,
@@ -498,7 +605,7 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                         push(Lavg, dst, p, a2cp)
                 stocks[n][p] = avail_mat - leaving
                 if is_factory[n]:
-                    spend(leaving * proc_cost[n, p])
+                    spend2(proc_cost[n, p], leaving)
 
         # phase 5: retailer demand (:378-387) -------------------------
         for ri, n in enumerate(retailer_idx):
@@ -506,18 +613,23 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                 d = dem_row[ri, p]
                 ful = jnp.minimum(stocks[n][p], d)
                 stocks[n][p] = stocks[n][p] - ful
-                spend(c_unmet * (d - ful))
+                spend2(c_unmet, d - ful)
 
         # phase 6: holding costs (:389-394) + state writeback ---------
         for n in range(N):
             for p in range(P):
-                spend(stocks[n][p] * stock_cost[n, p])
+                spend2(stock_cost[n, p], stocks[n][p])
                 stock_ref[n, p] = stocks[n][p]
         # scatter pipeline pushes; arrival at t+L -> ring slot (t+L)%RING
         if "scatter" not in ablate:
             for (L, n, p), amt in upd.items():
                 s = rslot(L)
                 ring_ref[s, n, p] = ring_ref[s, n, p] + amt
+
+        # fast path: flush the coefficient groups (summed in spend order
+        # within each group, groups in first-spend order)
+        for c, tot in groups.items():
+            acc[0] = acc[0] - c * tot
 
         return acc[0]
 
@@ -534,37 +646,46 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
                     # init_pipe[j] arrives at t=1+j -> ring slot 1+j
                     ring_ref[r, n, p] = jnp.full((B,), v, f32)
 
-    def _obs_build(stock_ref, ring_ref, dem, t, te, tb=None):
+    def _obs_build(stock_ref, ring_ref, dem, t, te, tb=None,
+                   exact_fp=True):
         """Observation [O, B] from live VMEM state (mirrors core/step.py
         obs_fn: state at episode step te, pipe[j] = ring[(t + j) % RING]).
 
         ``dem`` [R, P, B] current demand row; ``te`` episode step (for the
         remaining-time feature); ``t = te + 1``; ``tb`` the static value of
-        ``t % RING`` when the caller knows it (see _env_phases)."""
+        ``t % RING`` when the caller knows it (see _env_phases).
+        ``exact_fp``: parity modes divide by the normalizers exactly like
+        the reference (:433); PRNG modes multiply by the precomputed
+        reciprocals instead (~1 ULP per feature, VPU division is a
+        multi-op sequence)."""
 
         def rslot(off):
             return (tb + off) % RING if tb is not None else (t + off) % RING
 
         if "obs" in ablate:                # measurement stub
             return jnp.zeros((O, B), f32)
+
+        def norm(x, c):
+            # x / c, or x * (1/c) on the fast path (1/inf == 0 matches
+            # the reference's x / inf -> 0 for unbounded capacity)
+            return x / c if exact_fp else x * np.float32(1.0 / c)
+
         rows = []
         for r in range(R):
             for p in range(P):
-                rows.append((dem[r, p] - dem_min[p]) / dem_rangev[p])
+                rows.append(norm(dem[r, p] - dem_min[p], dem_rangev[p]))
         for n in range(N):
             for p in range(P):
-                # direct division like the reference (:433);
-                # x / inf -> 0 for unbounded capacity
-                rows.append(stock_ref[n, p] / stock_cap[n, p])
+                rows.append(norm(stock_ref[n, p], stock_cap[n, p]))
             for p in range(P):
                 for j in range(Lavg - 1):
                     pj = ring_ref[rslot(j), n, p]
-                    rows.append(pj / ms_safe[n, p]
+                    rows.append(norm(pj, ms_safe[n, p])
                                 if ms_ok[n, p] else jnp.zeros((B,), f32))
                 tail = jnp.zeros((B,), f32)
                 for j in range(Lavg - 1, RING - 1):
                     tail = tail + ring_ref[rslot(j), n, p]
-                rows.append(tail / (ms_safe[n, p] * (Lmax - (Lavg - 1)))
+                rows.append(norm(tail, ms_safe[n, p] * (Lmax - (Lavg - 1)))
                             if ms_ok[n, p] else jnp.zeros((B,), f32))
         remaining = (T - te).astype(f32) / T
         rows.append(jnp.broadcast_to(remaining, (B,)))
@@ -657,8 +778,14 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
         # per-use lead-time gathers on the table row [K,B] (the scaled
         # actions determine fired-ness, so this runs before the phases)
         lts = _per_use_lts(lt_ref[0], a) if stochastic else None
+        # seeded uniforms and tanh(mu) are statically in [0, 1]; raw
+        # action tables are not.  Only the PRNG-seeded sweep takes the
+        # reassociated fast cost path; 'actions' (scan parity) and
+        # 'policy' (the pinned greedy-parity row) keep exact FP.
         reward = _env_phases(stock_ref, ring_ref, a,
-                             lts, demand_ref[0], t)
+                             lts, demand_ref[0], t,
+                             bounded_actions=(mode != "actions"),
+                             exact_fp=(mode != "seeded"))
         reward_ref[0, 0] = reward
 
     def _collect_kernel(*refs, mode: str, n_w: int = 0, unroll: int = 1,
@@ -759,7 +886,8 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             else:
                 dem_row = demand_ref[j]
 
-            obs = _obs_build(stock_ref, ring_ref, dem_row, t, te, tb)
+            obs = _obs_build(stock_ref, ring_ref, dem_row, t, te, tb,
+                             exact_fp=not prng_inputs)
             if sample_major:
                 # time-major flat trajectory: step j's samples occupy
                 # columns [j*B, (j+1)*B) of the (X, U*B) block — the
@@ -809,8 +937,15 @@ def _make_episode_runners(cc: CompiledChain, T: int, B: int,
             a = (a_raw + 1.0) * 0.5
             if not prng_inputs:
                 lts = (_per_use_lts(lt_ref[j], a) if stochastic else None)
+            # PRNG uniforms and tanh-squashed policy actions are
+            # statically in [0, 1]; raw action tables are not.  The PRNG
+            # modes (no bit/stream-parity obligation) take the fast FP
+            # paths; the table parity modes keep the reference's exact
+            # op-for-op sequence.
             reward = _env_phases(stock_ref, ring_ref, a, lts, dem_row,
-                                 t, tb)
+                                 t, tb,
+                                 bounded_actions=(mode != "actions"),
+                                 exact_fp=not prng_inputs)
             reward_ref[j, 0] = reward
 
     # ------------------------------------------------------------------
